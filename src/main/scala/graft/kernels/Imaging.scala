@@ -1,0 +1,281 @@
+package graft.kernels
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/**
+ * Pure image kernels: decode (JDK ImageIO with the reference's
+ * greyscale-JPEG fallback intent, vec/ImageVectorization.java:176–185),
+ * deterministic bilinear max-pixels scaling (ext/ImageScaling.java:96–155),
+ * 64-bit average hash (the `phash` input column), PSNR, and the deterministic
+ * procedural raster generator used by FIXTURES.md §1.
+ *
+ * Raster representation everywhere: packed 0xRRGGBB ints, row-major,
+ * length = w*h (alpha dropped — the reference extracts on RGB/grey only).
+ */
+object Imaging {
+
+  final case class Raster(w: Int, h: Int, pixels: Array[Int]) {
+    require(pixels.length == w * h, s"raster ${w}x$h but ${pixels.length} pixels")
+  }
+
+  // -------------------------------------------------------------------- decode
+
+  /** Decode image bytes → packed-RGB raster. Returns None for null/corrupt
+    * bytes (the reference's null-image skip, exm/FeatureExtraction.java:109–116).
+    * JDK 17 ImageIO handles greyscale JPEGs natively — the reference's vendored
+    * ImageIOGreyScale fallback (utl/ImageIOGreyScale.java) existed for an older
+    * JDK bug; we keep the try-twice shape for robustness. */
+  def decode(bytes: Array[Byte]): Option[Raster] = {
+    if (bytes == null || bytes.length == 0) return None
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch {
+        case _: IllegalArgumentException =>
+          // reference retry path (grayscale JPEG, wrong ICC) — re-attempt once
+          try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+          catch { case _: Throwable => None }
+        case _: Throwable => None
+      }
+    img.map(toRaster)
+  }
+
+  def toRaster(img: BufferedImage): Raster = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, px, 0, w)
+    var i = 0
+    while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 } // drop alpha
+    Raster(w, h, px)
+  }
+
+  def toBufferedImage(r: Raster): BufferedImage = {
+    val img = new BufferedImage(r.w, r.h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, r.w, r.h, r.pixels, 0, r.w)
+    img
+  }
+
+  // -------------------------------------------------------------------- scale
+
+  /** Bilinear resample to (tw, th). Deterministic pure-Scala replacement for the
+    * reference's Graphics2D BILINEAR drawImage (ext/ImageScaling.java:143–150):
+    * pixel-center mapping, per-channel bilinear interpolation, round-half-up. */
+  def bilinearResize(r: Raster, tw: Int, th: Int): Raster = {
+    if (tw == r.w && th == r.h) return r
+    val out = new Array[Int](tw * th)
+    val sx = r.w.toDouble / tw
+    val sy = r.h.toDouble / th
+    var y = 0
+    while (y < th) {
+      val fy = (y + 0.5) * sy - 0.5
+      val y0 = math.max(0, math.min(r.h - 1, math.floor(fy).toInt))
+      val y1 = math.min(r.h - 1, y0 + 1)
+      val wy = math.max(0.0, math.min(1.0, fy - y0))
+      var x = 0
+      while (x < tw) {
+        val fx = (x + 0.5) * sx - 0.5
+        val x0 = math.max(0, math.min(r.w - 1, math.floor(fx).toInt))
+        val x1 = math.min(r.w - 1, x0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        val p00 = r.pixels(y0 * r.w + x0); val p01 = r.pixels(y0 * r.w + x1)
+        val p10 = r.pixels(y1 * r.w + x0); val p11 = r.pixels(y1 * r.w + x1)
+        var packed = 0
+        var shift = 16
+        while (shift >= 0) {
+          val c00 = (p00 >> shift) & 0xff; val c01 = (p01 >> shift) & 0xff
+          val c10 = (p10 >> shift) & 0xff; val c11 = (p11 >> shift) & 0xff
+          val top = c00 + (c01 - c00) * wx
+          val bot = c10 + (c11 - c10) * wx
+          val v = math.round(top + (bot - top) * wy).toInt
+          packed |= (math.max(0, math.min(255, v)) << shift)
+          shift -= 8
+        }
+        out(y * tw + x) = packed
+        x += 1
+      }
+      y += 1
+    }
+    Raster(tw, th, out)
+  }
+
+  /** Max-pixels scaling with the reference's exact geometry and multi-step
+    * halving schedule (ext/ImageScaling.java:96–155): no-op when w·h ≤ target;
+    * else ratio = √(target/area), target dims = floor(dim·ratio); higher-quality
+    * path halves w,h per step (clamped at target) with a bilinear pass each step. */
+  def maxPixelsScaling(r: Raster, targetPixels: Long): Raster = {
+    val area = r.w.toLong * r.h
+    if (area <= targetPixels) return r
+    val ratio = math.sqrt(targetPixels.toDouble / area)
+    val tw = (r.w * ratio).toInt
+    val th = (r.h * ratio).toInt
+    var cur = r
+    var w = r.w; var h = r.h
+    while (w != tw || h != th) {
+      if (w > tw) { w /= 2; if (w < tw) w = tw }
+      if (h > th) { h /= 2; if (h < th) h = th }
+      cur = bilinearResize(cur, w, h)
+    }
+    cur
+  }
+
+  // --------------------------------------------------------------------- grey
+
+  /** Luminance (ITU-R BT.601 int approximation, deterministic). */
+  def grey(r: Raster): Array[Double] = {
+    val out = new Array[Double](r.pixels.length)
+    var i = 0
+    while (i < r.pixels.length) {
+      val p = r.pixels(i)
+      out(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------------------- hash
+
+  /** 64-bit average hash: box-average to 8×8 grey, bit i set iff cell > mean.
+    * This defines the `phash` column of the input table (FIXTURES.md §1). */
+  def averageHash(r: Raster): Long = {
+    val g = grey(r)
+    val cells = new Array[Double](64)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * r.h / 8; val y1 = math.max(y0 + 1, (cy + 1) * r.h / 8)
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * r.w / 8; val x1 = math.max(x0 + 1, (cx + 1) * r.w / 8)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += g(y * r.w + x); n += 1; x += 1 }
+          y += 1
+        }
+        cells(cy * 8 + cx) = s / n
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L; var i = 0
+    while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  // --------------------------------------------------------------------- PSNR
+
+  /** PSNR in dB between two same-size rasters (parity gate: ≥40 dB for lossy). */
+  def psnr(a: Raster, b: Raster): Double = {
+    require(a.w == b.w && a.h == b.h, "PSNR needs same dimensions")
+    var se = 0.0; var n = 0
+    var i = 0
+    while (i < a.pixels.length) {
+      var shift = 16
+      while (shift >= 0) {
+        val d = ((a.pixels(i) >> shift) & 0xff) - ((b.pixels(i) >> shift) & 0xff)
+        se += d.toDouble * d; n += 1
+        shift -= 8
+      }
+      i += 1
+    }
+    if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * n / se)
+  }
+
+  // ------------------------------------------------------------------- encode
+
+  def encodePng(r: Raster): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(toBufferedImage(r), "png", bos)
+    bos.toByteArray
+  }
+
+  def encodeJpeg(r: Raster, quality: Float = 0.85f): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(toBufferedImage(r), null, null), params)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------- synthesis
+
+  /** Deterministic procedural raster keyed by (seed, index): smooth two-axis
+    * gradient + seeded rectangles + a disc. Smooth content keeps JPEG q=0.85
+    * comfortably above the 40 dB PSNR gate while still giving detectors
+    * gradients and corners to respond to. */
+  def syntheticRaster(seed: Long, index: Long, w: Int, h: Int): Raster = {
+    val rnd = new java.util.Random(seed * 1000003L + index)
+    val baseR = 40 + rnd.nextInt(160); val baseG = 40 + rnd.nextInt(160); val baseB = 40 + rnd.nextInt(160)
+    val dirX = rnd.nextDouble() * 2 - 1; val dirY = rnd.nextDouble() * 2 - 1
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val t = (dirX * x / w + dirY * y / h + 2) / 4
+        val r = clamp8(baseR + (t * 80).toInt)
+        val g = clamp8(baseG + (t * 60).toInt)
+        val b = clamp8(baseB + (t * 100).toInt)
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    val raster = Raster(w, h, px)
+    val nRects = 1 + rnd.nextInt(3)
+    var i = 0
+    while (i < nRects) {
+      val rx = rnd.nextInt(math.max(1, w - 8)); val ry = rnd.nextInt(math.max(1, h - 8))
+      val rw = 4 + rnd.nextInt(w / 2); val rh = 4 + rnd.nextInt(h / 2)
+      val color = ((64 + rnd.nextInt(192)) << 16) | ((64 + rnd.nextInt(192)) << 8) | (64 + rnd.nextInt(192))
+      fillRect(raster, rx, ry, rw, rh, color)
+      i += 1
+    }
+    val cx = w / 4 + rnd.nextInt(math.max(1, w / 2))
+    val cy = h / 4 + rnd.nextInt(math.max(1, h / 2))
+    val rad = 3 + rnd.nextInt(math.max(4, math.min(w, h) / 4))
+    val discColor = ((64 + rnd.nextInt(192)) << 16) | ((64 + rnd.nextInt(192)) << 8) | (64 + rnd.nextInt(192))
+    fillDisc(raster, cx, cy, rad, discColor)
+    raster
+  }
+
+  /** Flat single-color raster — the zero-keypoint edge row (FIXTURES.md §1). */
+  def uniformRaster(w: Int, h: Int, rgb: Int): Raster =
+    Raster(w, h, Array.fill(w * h)(rgb & 0xffffff))
+
+  private def clamp8(v: Int): Int = math.max(0, math.min(255, v))
+
+  private def fillRect(r: Raster, x0: Int, y0: Int, rw: Int, rh: Int, color: Int): Unit = {
+    var y = math.max(0, y0)
+    val yEnd = math.min(r.h, y0 + rh)
+    while (y < yEnd) {
+      var x = math.max(0, x0)
+      val xEnd = math.min(r.w, x0 + rw)
+      while (x < xEnd) { r.pixels(y * r.w + x) = color; x += 1 }
+      y += 1
+    }
+  }
+
+  private def fillDisc(r: Raster, cx: Int, cy: Int, rad: Int, color: Int): Unit = {
+    var y = math.max(0, cy - rad)
+    val yEnd = math.min(r.h - 1, cy + rad)
+    while (y <= yEnd) {
+      var x = math.max(0, cx - rad)
+      val xEnd = math.min(r.w - 1, cx + rad)
+      while (x <= xEnd) {
+        val dx = x - cx; val dy = y - cy
+        if (dx * dx + dy * dy <= rad * rad) r.pixels(y * r.w + x) = color
+        x += 1
+      }
+      y += 1
+    }
+  }
+}

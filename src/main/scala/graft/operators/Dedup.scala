@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data curation, each a
+ * DataFrame transform designed around its shuffle shape:
+ *
+ *  - exact: one hash-partitioned groupBy on the content key.
+ *  - MinHash+LSH: shingle → signature (row-local) → band explode → bucket
+ *    groupBy → within-bucket pairs → exact-Jaccard verify. The only wide ops
+ *    are the bucket groupBy and the final distinct; candidate generation
+ *    never compares docs across buckets (that's what makes it 100 TB-able —
+ *    no O(n²) stage, bucket sizes bounded by banding).
+ *  - SimHash: 64-bit row-local signature; near-dup pairs via band join on
+ *    16-bit chunks (any pair within Hamming ≤ 3 shares ≥1 exact chunk by
+ *    pigeonhole over 4 chunks).
+ *  - n-gram Jaccard: inverted-index self-join on shingles (exact, for small
+ *    candidate sets / verification of the approximate paths).
+ */
+object Dedup {
+
+  /** Exact dedup groups: content key → representative id + duplicate count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact-dedup filter: keep one row (min id) per distinct content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /**
+   * MinHash-LSH candidate pairs with exact-Jaccard verification.
+   * `numHashes = bands * rowsPerBand`. Returns (id_a, id_b, jaccard) with
+   * id_a < id_b and jaccard ≥ threshold, distinct.
+   */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val toks = TextOps.tokens(col(textCol))
+    val withSig = df
+      .select(col(idCol), array_distinct(TextOps.shingles(toks, shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", TextOps.minhashSignature(col("sh"), numHashes))
+    // band hash = xxhash64 over the band's signature slice
+    val banded = withSig
+      .select(col(idCol), col("sh"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              _.cast("string")))))).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash per document (row-local). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ maxHamming. Banding on
+   * `chunks` equal bit-chunks guarantees recall when
+   * maxHamming < chunks (pigeonhole); the final exact Hamming filter gives
+   * precision.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "banding guarantee needs maxHamming < chunks")
+    val bitsPer = 64 / chunks
+    val sims = simhashTable(df, idCol, textCol)
+    val banded = sims.select(col(idCol), col("simhash"),
+      posexplode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("simhash"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
+    val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", TextOps.hamming64(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs via an inverted-index self-join: explode
+   * distinct shingles, join docs sharing a shingle, dedupe pairs, compute
+   * exact Jaccard. Exact but O(pairs-sharing-a-shingle) — the verification
+   * oracle for the LSH paths, or a primary dedup at moderate scale.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val inv = base.select(col(idCol), explode(col("sh")).as("shingle"))
+    val pairs = inv.as("x").join(inv.as("y"), col("x.shingle") === col("y.shingle"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

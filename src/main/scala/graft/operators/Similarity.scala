@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *  - brute-force cosine top-k (the exactness baseline — one broadcast of the
+ *    query set, one narrow scan, partial top-k per partition via
+ *    TakeOrderedAndProject);
+ *  - IVF-bucketed ANN (the scale path — corpus pre-partitioned by nearest
+ *    coarse centroid, queries probe only `nprobe` lists → partition-pruned
+ *    scan, the same shape as the reference's inverted file,
+ *    ds/IVFPQ.java:408–450);
+ *  - hyperplane-LSH bucketed ANN (sign-random-projection SimHash of the
+ *    embedding, band join).
+ *
+ * Vector math uses built-in higher-order functions (zip_with/aggregate) —
+ * codegen'd, no UDFs.
+ */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2NormCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity; 0.0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2NormCol(a) * l2NormCol(b)
+    when(denom === 0.0, 0.0).otherwise(dotProduct(a, b) / denom)
+  }
+
+  /**
+   * Brute-force cosine top-k: each query (small set, broadcast) against the
+   * full corpus; rank per query by (similarity desc, neighbor id asc) —
+   * deterministic under ties. Self-matches excluded.
+   * Returns (query_id, neighbor_id, cosine, rank).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Assign each row its nearest coarse-centroid list id (broadcast centroids,
+    * row-local argmin — the IVF partitioning key). */
+  def withListId(df: DataFrame, vecCol: String,
+                 centroids: Array[Array[Double]], listCol: String = "list_id"): Column = {
+    // argmin over centroids of squared L2, expressed with built-ins:
+    // array of struct(dist, idx) → array_min picks min dist, ties → lower idx.
+    val scored = array(centroids.indices.map { i =>
+      val cLit = array(centroids(i).map(lit): _*)
+      struct(
+        aggregate(zip_with(col(vecCol), cLit,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v).as("dist"),
+        lit(i).as("idx"))
+    }: _*)
+    array_min(scored).getField("idx")
+  }
+
+  /**
+   * IVF ANN top-k: corpus carries a `list_id` (ideally its partition column →
+   * Catalyst prunes non-probed lists at planning time); each query probes the
+   * `nprobe` nearest coarse lists and ranks within them. Same output schema
+   * as [[bruteForceTopK]]. With nprobe = numLists this is exact.
+   */
+  def ivfTopK(queries: DataFrame, corpusWithList: DataFrame,
+              idCol: String, vecCol: String,
+              centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
+    val probeLists = {
+      // nprobe nearest centroids per query, via the same struct-min trick n times
+      val scored = array(centroids.indices.map { i =>
+        val cLit = array(centroids(i).map(lit): _*)
+        struct(
+          aggregate(zip_with(col("qv"), cLit,
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v).as("dist"),
+          lit(i).as("idx"))
+      }: _*)
+      slice(array_sort(scored), 1, nprobe)
+    }
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("probe", explode(transform(probeLists, s => s.getField("idx")))))
+    val c = corpusWithList.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col("list_id"))
+    val scored = q.join(c, col("probe") === col("list_id") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Sign-random-projection hash of an embedding: bit i = sign(v · h_i),
+    * hyperplanes seeded-deterministic. Embedding-space SimHash for LSH
+    * bucketing and embedding near-dup dedup. */
+  def hyperplaneHash(vecCol: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val pLit = array(p.map(lit): _*)
+      shiftleft(when(dotProduct(vecCol, pLit) > 0.0, lit(1L)).otherwise(lit(0L)), i)
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding near-duplicate pairs: bucket by hyperplane-hash chunks (recall
+    * by pigeonhole), verify with exact cosine ≥ threshold. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, threshold: Double = 0.95,
+                            bits: Int = 32, chunks: Int = 4,
+                            seed: Long = 42L): DataFrame = {
+    val bitsPer = bits / chunks
+    val hashed = df.select(col(idCol), col(vecCol).as("v"),
+      hyperplaneHash(col(vecCol), dim, bits, seed).as("hh"))
+    val banded = hashed.select(col(idCol), col("v"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("hh"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
+    val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("chunk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

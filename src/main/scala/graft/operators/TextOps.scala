@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline over the `documents`
+ * table: tokenization, token counting, quality scoring, language-ID heuristic,
+ * document fingerprinting, SimHash, MinHash signatures, shingling.
+ *
+ * Everything here is built from `org.apache.spark.sql.functions._` (incl.
+ * higher-order array functions) — fully codegen'd, no UDFs, so Catalyst can
+ * push/prune/fuse around them. All per-document work is row-local: no shuffle
+ * until an explicit dedup/join operator groups by a derived key.
+ */
+object TextOps {
+
+  /** Whitespace tokenization; empty/blank text → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles as space-joined strings; < n tokens → empty array. */
+  def shingles(tokenArr: Column, n: Int): Column =
+    when(size(tokenArr) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tokenArr) - n),
+        i => concat_ws(" ", slice(tokenArr, i + 1, lit(n)))))
+
+  /**
+   * Heuristic quality score in [0,1]: shrinks with extreme length, high
+   * punctuation density and high digit density; grows with mean token length
+   * plausibility. Deterministic closed form so the DuckDB oracle can replicate
+   * it exactly (same operations, same constants).
+   * score = clamp(0, 1, 0.5 + 0.5*min(ntok,200)/200 - punct_ratio - digit_ratio)
+   */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val punct = (len - length(regexp_replace(text, "[.,!?;:]", ""))) / greatest(len, lit(1.0))
+    val digit = (len - length(regexp_replace(text, "[0-9]", ""))) / greatest(len, lit(1.0))
+    val ntok = tokenCount(text).cast("double")
+    val raw = lit(0.5) + lit(0.5) * least(ntok, lit(200.0)) / lit(200.0) - punct - digit
+    greatest(lit(0.0), least(lit(1.0), raw))
+  }
+
+  /** Per-language stopword sets for the n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "pas"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "una", "no"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /**
+   * Language-ID: count distinct-stopword hits per language over the token set,
+   * pick the argmax (ties broken by language code descending via struct
+   * ordering — deterministic). Rows with zero hits for every language get
+   * "und" (undetermined).
+   */
+  def langId(tokenArr: Column): Column = {
+    val distinctToks = array_distinct(tokenArr)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(distinctToks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /**
+   * Document fingerprint: min-of-shingle-hashes (winnowing-style rolling
+   * fingerprint over word 3-grams, xxhash64). Stable under whitespace layout,
+   * sensitive to content. Empty docs → xxhash64 of the raw text.
+   */
+  def fingerprint(text: Column, n: Int = 3): Column = {
+    val sh = shingles(tokens(text), n)
+    when(size(sh) === 0, xxhash64(text))
+      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+  }
+
+  /**
+   * 64-bit SimHash over token unigrams: bit b of the result is 1 iff
+   * Σ_tokens (bit b of xxhash64(token) ? +1 : −1) > 0. Row-local nested
+   * higher-order aggregates — no shuffle, no UDF.
+   */
+  def simhash64(tokenArr: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(
+          tokenArr,
+          lit(0),
+          (a, t) => a + when(call_function("shiftright", xxhash64(t), b)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        acc.bitwiseOR(call_function("shiftleft",
+          when(vote > 0, lit(1L)).otherwise(lit(0L)), b))
+      })
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * MinHash signature: numHashes permutations simulated by salting xxhash64
+   * with the hash index; signature[i] = min over shingles of xxhash64(shingle
+   * ⊕ salt_i). Empty shingle set → null signature (caller filters).
+   */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    when(size(shingleArr) === 0, lit(null))
+      .otherwise(transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(shingleArr, s => xxhash64(concat(s, lit("#"), i.cast("string")))))))
+}

@@ -1,0 +1,121 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Point-in-time / as-of join + windowed feature engineering, composed from
+ * Catalyst built-ins (SURVEY.md §2.5 J4, §4 item 3 — a custom Strategy is not
+ * needed: one window shuffle on the version side + one equi-join).
+ *
+ * The reference's analog of "model version" is which codebook/PCA/PQ files a
+ * job was launched with (exm/YFCC100MExample.java:72–78). This module makes
+ * that binding explicit and leakage-free: a left row at time t binds the
+ * right row with the greatest `valid_from <= t` for its key.
+ */
+object Temporal {
+
+  /** Derive validity intervals on the version side:
+    * valid_to = lead(valid_from) over (partition by keys order by valid_from).
+    * Null valid_to = open-ended (latest version). One shuffle of the (small)
+    * version side only. */
+  def withValidity(versions: DataFrame, tsCol: String, keyCols: Seq[String],
+                   validToCol: String = "valid_to"): DataFrame = {
+    val w =
+      if (keyCols.isEmpty) Window.partitionBy().orderBy(col(tsCol))
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    versions.withColumn(validToCol, lead(col(tsCol), 1).over(w))
+  }
+
+  /**
+   * As-of (backward) join: for each left row, attach the latest right row with
+   * `right.tsCol <= left.tsCol` (strictly no future rows → zero temporal
+   * leakage), matching on equi `keys` when given.
+   *
+   * Plan shape: right side gets validity intervals (window over the small
+   * side), then an equi-join on keys with the range predicate
+   * `r.valid_from <= l.ts < r.valid_to` — Catalyst picks broadcast-hash when
+   * the version side is small (the common case: O(versions) rows), sort-merge
+   * otherwise; AQE handles skewed keys. With no keys the right side must be
+   * small (model-version style) and is broadcast explicitly.
+   *
+   * Column collision rule: right's ts column is exposed as `asof_<tsRight>`.
+   */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      keys: Seq[String] = Seq.empty,
+      joinType: String = "inner"): DataFrame = {
+    val validTo = "__asof_valid_to"
+    val r0 = withValidity(right, rightTs, keys, validTo)
+      .withColumnRenamed(rightTs, s"asof_$rightTs")
+    val rightKeyed = keys.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"__asof_k_$k"))
+    val r = if (keys.isEmpty) broadcast(rightKeyed) else rightKeyed
+    val rangeCond = col(s"asof_$rightTs") <= col(leftTs) &&
+      (col(validTo).isNull || col(leftTs) < col(validTo))
+    val cond = keys
+      .map(k => col(k) === col(s"__asof_k_$k"))
+      .foldLeft(rangeCond)(_ && _)
+    left.join(r, cond, joinType)
+      .drop(validTo)
+      .drop(keys.map(k => s"__asof_k_$k"): _*)
+  }
+
+  /**
+   * Forward-fill: propagate the last non-null observation forward in time
+   * within each entity. `last(_, ignoreNulls = true)` over
+   * unbounded-preceding..current — values flow strictly forward (no leakage).
+   */
+  def backfill(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+               valueCols: Seq[String], suffix: String = "_filled"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c + suffix, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Per-entity lag/lead feature columns over event time. */
+  def lagLead(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+              valueCol: String, offsets: Seq[Int] = Seq(1)): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    offsets.foldLeft(df) { (d, k) =>
+      d.withColumn(s"${valueCol}_lag$k", lag(col(valueCol), k).over(w))
+        .withColumn(s"${valueCol}_lead$k", lead(col(valueCol), k).over(w))
+    }
+  }
+
+  /**
+   * Sessionize: a new session starts when the gap to the previous event of the
+   * same entity exceeds `gapSeconds`. session_seq = running count of
+   * session-starts (1-based); session_id = "<entity>#<seq>".
+   */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 gapSeconds: Long,
+                 sessionCol: String = "session_id",
+                 tieBreakCols: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreakCols).map(col): _*)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(prevTs.isNull, 1)
+      .when(col(tsCol).cast("long") - prevTs.cast("long") > gapSeconds, 1)
+      .otherwise(0)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__is_new_session", isNew)
+      .withColumn(s"${sessionCol}_seq", sum(col("__is_new_session")).over(wRun))
+      .withColumn(sessionCol,
+        concat_ws("#", keys.map(col) :+ col(s"${sessionCol}_seq").cast("string"): _*))
+      .drop("__is_new_session")
+  }
+
+  /** Explicit skew salt: `pmod(saltSource, buckets)` — used as a partition /
+    * pre-aggregation column for hot phash/fmt keys (SURVEY.md §4 shuffle plan).
+    * Two-phase aggregate: groupBy(key, salt).agg(partial) then groupBy(key). */
+  def withSalt(df: DataFrame, saltSource: Column, buckets: Int,
+               saltCol: String = "salt"): DataFrame =
+    df.withColumn(saltCol, pmod(saltSource, lit(buckets)).cast("int"))
+}
