@@ -1,13 +1,460 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.temporal.Temporal
+
+/**
+ * Driver contract — one `queries` entry per implemented operator family
+ * (SURVEY.md §2), with DuckDB-runnable `oracleSql` equivalents where the
+ * semantics are SQL-expressible. Numeric outputs are normalized (DOUBLE /
+ * BIGINT, decimal-cast sums, round(…, 6)) so the value-hash compare is
+ * engine-independent; every query carries a deterministic total ORDER BY.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic near-duplicate injection for the dedup operators: the
+    * first `n` documents are re-emitted with doc_id+1000000 and one token
+    * appended — same construction in the SQL oracle. */
+  private def docsWithDupes(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val dupes = docs.where(col("doc_id") < n)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    docs.select("doc_id", "text").unionByName(dupes)
+  }
+
+  private def embWithDupes(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    emb.select("vec_id", "embedding").unionByName(
+      emb.where(col("vec_id") < n)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+
+  /** Flagship: end-to-end image feature pipeline on sf0.001-scale synthetic
+    * image table (decode → extract → VLAD → PCA → PQ → as-of model join). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_image_pipeline")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++ ImageQueries.queries
+
+  private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------------- aggregation
+    // TPC-H Q1 shape: wide scan → hash agg; decimal-cast sums for
+    // engine-independent exactness (A1-family rollup diagnostics, SURVEY §2.6).
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(20, 6))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(20, 6))).cast("double").as("sum_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(20, 6))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Two-phase skew-salted aggregation (SURVEY §4 shuffle plan): salt on a
+    // hash of the row, partial agg per (key, salt), then final agg per key —
+    // result identical to a plain groupBy, which is the oracle.
+    "q_skew_salted_agg" -> ((s, dir) => {
+      val salted = Temporal.withSalt(
+        t(s, dir, "lineitem"), xxhash64(col("l_orderkey"), col("l_linenumber")), 32)
+      salted
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity").cast(DecimalType(20, 6))).as("pq"),
+          count(lit(1)).as("pn"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pq")).cast("double").as("sum_qty"), sum(col("pn")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --------------------------------------------------------------- joins
+    // Broadcast-hash join chain + agg (J1–J3 family).
+    "q_join_agg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+      t(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(20, 6))).cast("double")
+          .as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // Left-anti join — the reference's idempotent-resume mechanism (F2,
+    // ds/AbstractSearchStructure.java:537–546).
+    "q_anti_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+
+    // Point-in-time as-of join (J4 / north rule): each event binds the latest
+    // order of the same customer with o_orderdate <= ts; version side is
+    // deduped to one row per (key, ts) so validity intervals are unique.
+    "q_asof_join" -> ((s, dir) => {
+      val versions = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      Temporal.asOfJoin(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        versions, leftTs = "ts", rightTs = "o_orderdate", keys = Seq("user_id"))
+        .select(col("event_id"), col("o_orderkey"),
+          col("asof_o_orderdate").cast("timestamp").cast("long").as("asof_epoch"))
+        .orderBy("event_id")
+    }),
+
+    // ------------------------------------------------------------- windows
+    // Forward-fill (backfill) of a sparsely-observed value per entity.
+    "q_backfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("purchase_value",
+        when(col("event_type") === "purchase", col("value")))
+      Temporal.backfill(ev, Seq("user_id"), Seq("ts", "event_id"), Seq("purchase_value"))
+        .select(col("event_id"),
+          round(col("purchase_value_filled"), 6).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    "q_lag_lead" -> ((s, dir) => {
+      Temporal.lagLead(t(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"),
+        "value", Seq(1))
+        .select(col("event_id"), round(col("value_lag1"), 6).as("value_lag1"),
+          round(col("value_lead1"), 6).as("value_lead1"))
+        .orderBy("event_id")
+    }),
+
+    // Sessionize: 30-minute inactivity gap starts a new session.
+    "q_sessionize" -> ((s, dir) => {
+      Temporal.sessionize(t(s, dir, "events"), Seq("user_id"), "ts", 1800,
+        tieBreakCols = Seq("event_id"))
+        .select(col("event_id"), col("session_id_seq").cast("long").as("session_seq"))
+        .orderBy("event_id")
+    }),
+
+    // Rolling window aggregate: 7-row trailing sum/avg per entity.
+    "q_window_agg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, 0)
+      t(s, dir, "events")
+        .withColumn("rolling_sum", round(sum(col("value")).over(w), 6))
+        .withColumn("rolling_n", count(lit(1)).over(w))
+        .select("event_id", "rolling_sum", "rolling_n")
+        .orderBy("event_id")
+    }),
+
+    // --------------------------------------------------------------- top-k
+    // Global top-k → TakeOrderedAndProject (T1 partial/final shape).
+    "q_topk_global" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+
+    // Per-group top-k via ranked window.
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+          round(col("o_totalprice"), 6).as("price"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // ------------------------------------------------------ text analysis
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (no SQL oracle — verified by ScalaTest spec).
+    "q_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling-hash document fingerprint (xxhash64 — no SQL oracle).
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ------------------------------------------------------- deduplication
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withExactCopies = docs.select("doc_id", "text").unionByName(
+        docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactGroups(withExactCopies, "doc_id", "text")
+        .where(col("n_dups") > 1)
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (inverted-index join).
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docsWithDupes(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
+    // recall/precision asserted against exact Jaccard in ScalaTest).
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docsWithDupes(s, dir), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (rows-only; Hamming-banding recall in ScalaTest).
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(docsWithDupes(s, dir), "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --------------------------------------------------- similarity search
+    // Brute-force cosine top-k (exact baseline, T1 shape on embeddings).
+    "q_embed_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN with nprobe = numLists (exact ⇒ must equal brute force — the
+    // oracle); nprobe < numLists recall is asserted in ScalaTest. Coarse
+    // centroids are the first 8 corpus vectors (deterministic).
+    "q_embed_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val corpus = emb.withColumn("list_id",
+        Similarity.withListId(emb, "embedding", centroids))
+      Similarity.ivfTopK(emb.where(col("vec_id") < 5), corpus,
+        "vec_id", "embedding", centroids, k = 10, nprobe = centroids.length)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding near-dup pairs via hyperplane LSH + exact-cosine verify.
+    // Injected exact duplicates hash identically ⇒ recall 1.0 for them, so
+    // the SQL brute-force pairs (cosine ≥ 0.999) are a true oracle.
+    "q_embed_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(embWithDupes(s, dir), "vec_id", "embedding",
+        dim = 64, threshold = 0.999)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH dedup AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |), v AS (
+        |  SELECT user_id, o_orderkey, o_orderdate,
+        |    LEAD(o_orderdate) OVER (PARTITION BY user_id ORDER BY o_orderdate) AS valid_to
+        |  FROM dedup
+        |)
+        |SELECT e.event_id, v.o_orderkey, CAST(epoch(v.o_orderdate) AS BIGINT) AS asof_epoch
+        |FROM events e JOIN v ON e.user_id = v.user_id
+        |  AND v.o_orderdate <= e.ts AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_backfill" ->
+      """SELECT event_id, ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_lag_lead" ->
+      """SELECT event_id,
+        |ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_lag1,
+        |ROUND(LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_lead1
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |         WHEN CAST(epoch(ts) AS BIGINT) - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |)
+        |SELECT event_id, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT event_id,
+        |ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_sum,
+        |COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_n
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rk, ROUND(o_totalprice, 6) AS price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |  ELSE CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id, ROUND(
+        |  GREATEST(0.0, LEAST(1.0,
+        |    0.5
+        |    + 0.5 * LEAST(CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |        ELSE array_length(regexp_split_to_array(TRIM(text), '\s+')) END AS DOUBLE), 200.0) / 200.0
+        |    - (CAST(LENGTH(text) AS DOUBLE) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))) / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)
+        |    - (CAST(LENGTH(text) AS DOUBLE) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)
+        |  )), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+        |)
+        |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM all_docs GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+        |  FROM documents WHERE doc_id < 20
+        |), base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM all_docs)
+        |  WHERE array_length(toks) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh)) > 0
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_knn" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE) AS cos_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_ivf" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE) AS cos_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH all_emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+        |FROM all_emb a JOIN all_emb b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin
+  )
 }

@@ -71,14 +71,18 @@ object TextOps {
   }
 
   /**
-   * Document fingerprint: min-of-shingle-hashes (winnowing-style rolling
-   * fingerprint over word 3-grams, xxhash64). Stable under whitespace layout,
-   * sensitive to content. Empty docs → xxhash64 of the raw text.
+   * Document fingerprint: rolling 64-bit hash folded over the word 3-gram
+   * shingle hashes in order (acc = rotl(acc, 5) ⊕ xxhash64(shingle) — bitwise,
+   * ANSI-safe). Stable under whitespace layout (tokenization normalizes it),
+   * sensitive to any content or ordering change. Empty docs → xxhash64(text).
    */
   def fingerprint(text: Column, n: Int = 3): Column = {
     val sh = shingles(tokens(text), n)
+    val rotl5 = (acc: Column) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
     when(size(sh) === 0, xxhash64(text))
-      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+      .otherwise(aggregate(sh, lit(0L),
+        (acc, s) => rotl5(acc).bitwiseXOR(xxhash64(s))))
   }
 
   /**

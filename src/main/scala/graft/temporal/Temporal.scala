@@ -101,8 +101,10 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((tsCol +: tieBreakCols).map(col): _*)
     val prevTs = lag(col(tsCol), 1).over(w)
+    // double cast: TIMESTAMP_NTZ → TIMESTAMP → epoch seconds (UTC session)
     val isNew = when(prevTs.isNull, 1)
-      .when(col(tsCol).cast("long") - prevTs.cast("long") > gapSeconds, 1)
+      .when(col(tsCol).cast("timestamp").cast("long") -
+        prevTs.cast("timestamp").cast("long") > gapSeconds, 1)
       .otherwise(0)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__is_new_session", isNew)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextOps}
+
+/** Dedup operators: exact groups, MinHash-LSH vs exact Jaccard (precision
+  * exact by construction, recall measured), SimHash Hamming banding guarantee. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // corpus with known structure: 60 base docs, 10 exact dupes, 10 near-dupes
+  private val rnd = new scala.util.Random(31337)
+  private val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+  private def doc(len: Int): String =
+    Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  private val base = (0 until 60).map(i => (i.toLong, doc(30 + rnd.nextInt(20))))
+  private val exactDupes = base.take(10).map { case (id, t) => (id + 1000, t) }
+  private val nearDupes = base.slice(10, 20).map { case (id, t) =>
+    (id + 2000, t + " omega") } // one appended token ⇒ very high 3-gram Jaccard
+  private lazy val docs = (base ++ exactDupes ++ nearDupes).toDF("doc_id", "text").cache()
+
+  test("exactGroups finds exactly the injected exact duplicates") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .where(col("n_dups") > 1)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(groups.keySet == (0L until 10L).toSet)
+    assert(groups.values.forall(_ == 2L))
+  }
+
+  test("exactDedup keeps min-id representative, drops the rest") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 10L).forall(kept.contains))
+    assert((1000L until 1010L).forall(id => !kept.contains(id)))
+    assert(kept.size == 70) // 60 base + 10 near-dupes (distinct text)
+  }
+
+  test("ngramJaccardPairs: exact pairs, symmetric-free (a<b), correct Jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // all exact dupes are found with jaccard 1.0
+    (0L until 10L).foreach(i => assert(pairSet.contains((i, i + 1000)), s"exact pair $i"))
+    pairs.filter(p => p._2 == p._1 + 1000).foreach(p => assert(p._3 == 1.0))
+    // near dupes: appended token changes ≤ a couple shingles → jaccard ≥ 0.8
+    (10L until 20L).foreach(i => assert(pairSet.contains((i, i + 2000)), s"near pair $i"))
+    pairs.foreach(p => assert(p._1 < p._2))
+  }
+
+  test("minhashLshPairs ⊆ exact pairs at same threshold, recall ≥ 0.9 on dupes") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH verify step must keep precision exact")
+    val recall = (lsh & exact).size.toDouble / math.max(1, exact.size)
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhashPairs: all reported pairs within maxHamming; exact dupes found") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    pairs.foreach(p => assert(p._3 <= 3))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    (0L until 10L).foreach(i =>
+      assert(pairSet.contains((i, i + 1000)), s"simhash must pair exact dupes (hamming 0): $i"))
+  }
+
+  test("simhash64 of identical token multisets is identical; empty docs hash to 0 votes") {
+    val df = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "x y z w")).toDF("id", "text")
+    val hs = df.select(TextOps.simhash64(TextOps.tokens(col("text")))).as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernels.Imaging
+import graft.extract.{GridPatchExtractor, SurfLiteExtractor}
+
+/** Decode / scale / hash parity gates (BASELINE input_hint: exact for PNG,
+  * PSNR ≥ 40 dB for lossy JPEG). */
+class ImagingSpec extends AnyFunSuite {
+
+  private val raster = Imaging.syntheticRaster(42L, 7L, 96, 128)
+
+  test("PNG encode/decode round-trip is exact (lossless parity path)") {
+    val decoded = Imaging.decode(Imaging.encodePng(raster)).get
+    assert(decoded.w == raster.w && decoded.h == raster.h)
+    assert(decoded.pixels.sameElements(raster.pixels))
+  }
+
+  test("JPEG decode parity PSNR ≥ 40 dB (lossy gate, BASELINE input_hint)") {
+    val decoded = Imaging.decode(Imaging.encodeJpeg(raster)).get
+    val psnr = Imaging.psnr(raster, decoded)
+    assert(psnr >= 40.0, s"JPEG PSNR $psnr < 40 dB")
+  }
+
+  test("corrupt bytes decode to None (null-image skip, FeatureExtraction.java:109–116)") {
+    assert(Imaging.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Imaging.decode(Array.emptyByteArray).isEmpty)
+    assert(Imaging.decode(null).isEmpty)
+  }
+
+  test("greyscale JPEG decodes (reference ImageIOGreyScale fallback case)") {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 32).foreach(y => (0 until 32).foreach(x =>
+      img.setRGB(x, y, ((x * 8) << 16) | ((x * 8) << 8) | (x * 8))))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val decoded = Imaging.decode(bos.toByteArray)
+    assert(decoded.nonEmpty && decoded.get.w == 32)
+  }
+
+  test("maxPixelsScaling geometry matches reference formula (ImageScaling.java:96–116)") {
+    // no-op when area <= target (ImageScaling.java:103–105)
+    assert(Imaging.maxPixelsScaling(raster, 96L * 128L) eq raster)
+    // else floor(dim * sqrt(target/area))
+    val big = Imaging.syntheticRaster(42L, 8L, 512, 384)
+    val target = 100000L
+    val ratio = math.sqrt(target.toDouble / (512 * 384))
+    val scaled = Imaging.maxPixelsScaling(big, target)
+    assert(scaled.w == (512 * ratio).toInt && scaled.h == (384 * ratio).toInt)
+    assert(scaled.w.toLong * scaled.h <= target)
+  }
+
+  test("bilinear resampler close to AWT bilinear (sanity, PSNR ≥ 30 dB)") {
+    val src = Imaging.toBufferedImage(raster)
+    val tw = 48; val th = 64
+    val awt = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = awt.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g2.drawImage(src, 0, 0, tw, th, null)
+    g2.dispose()
+    val ours = Imaging.bilinearResize(raster, tw, th)
+    val psnr = Imaging.psnr(Imaging.toRaster(awt), ours)
+    assert(psnr >= 30.0, s"bilinear vs AWT PSNR $psnr")
+  }
+
+  test("averageHash: deterministic, 20%-skew hot key in synth table") {
+    assert(Imaging.averageHash(raster) == Imaging.averageHash(raster))
+    val other = Imaging.syntheticRaster(42L, 9L, 96, 128)
+    assert(Imaging.averageHash(raster) != Imaging.averageHash(other))
+  }
+
+  test("uniform raster yields zero descriptors → VLAD zero-vector edge row") {
+    val flat = Imaging.uniformRaster(64, 64, 0x808080)
+    assert(GridPatchExtractor().extract(flat).isEmpty)
+    assert(SurfLiteExtractor().extract(flat).isEmpty)
+  }
+
+  test("GridPatchExtractor: deterministic, fixed length 8") {
+    val ex = GridPatchExtractor()
+    val d1 = ex.extract(raster); val d2 = ex.extract(raster)
+    assert(d1.nonEmpty && d1.forall(_.length == 8))
+    assert(d1.zip(d2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("SurfLiteExtractor: deterministic 64-d unit-norm descriptors on structured image") {
+    val ex = SurfLiteExtractor(detectThreshold = 1.0)
+    val big = Imaging.syntheticRaster(42L, 3L, 200, 150)
+    val d = ex.extract(big)
+    assert(d.nonEmpty, "expected keypoints on structured raster")
+    assert(d.forall(_.length == 64))
+    d.foreach(v => assert(math.abs(graft.kernels.Kernels.l2Norm(v) - 1.0) < 1e-9))
+    val d2 = ex.extract(big)
+    assert(d.length == d2.length && d.zip(d2).forall { case (a, b) => a.sameElements(b) })
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernels.Kernels
+import graft.operators.Similarity
+
+/** ANN operators vs scalar brute force: exact top-k parity, IVF exactness at
+  * nprobe=all, recall bound at nprobe<all, LSH near-dup recall on injected
+  * duplicates. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val nVec = 200
+  private val rnd = new scala.util.Random(4242)
+  private val vecs: Seq[(Long, Array[Float])] =
+    (0 until nVec).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  private lazy val corpus = vecs.toDF("vec_id", "embedding").cache()
+
+  private def scalarTopK(qid: Long, k: Int): Seq[(Long, Double)] = {
+    val q = vecs(qid.toInt)._2.map(_.toDouble)
+    vecs.filter(_._1 != qid)
+      .map { case (id, v) => (id, Kernels.cosineSimilarity(q, v.map(_.toDouble))) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k)
+  }
+
+  test("bruteForceTopK matches scalar oracle (ids, ranks, cosines)") {
+    val got = Similarity.bruteForceTopK(
+      corpus.where(col("vec_id") < 3), corpus, "vec_id", "embedding", 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    (0L until 3L).foreach { qid =>
+      val expect = scalarTopK(qid, 10)
+      val mine = got(qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(mine.map(_._1).sameElements(expect.map(_._1)), s"q$qid neighbor ids")
+      mine.zip(expect).foreach { case ((_, c1), (_, c2)) =>
+        assert(math.abs(c1 - c2) < 1e-9, s"q$qid cosine")
+      }
+    }
+  }
+
+  test("ivfTopK with nprobe = numLists is exactly brute force") {
+    val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
+    val withList = corpus.withColumn("list_id",
+      Similarity.withListId(corpus, "embedding", centroids))
+    val ivf = Similarity.ivfTopK(corpus.where(col("vec_id") < 3), withList,
+      "vec_id", "embedding", centroids, k = 10, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(corpus.where(col("vec_id") < 3), corpus,
+      "vec_id", "embedding", 10)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK list assignment matches scalar nearest-centroid") {
+    val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
+    val withList = corpus.withColumn("list_id",
+      Similarity.withListId(corpus, "embedding", centroids))
+    withList.select("vec_id", "embedding", "list_id").collect().foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      assert(r.getInt(2) == Kernels.nearestCentroid(v, centroids))
+    }
+  }
+
+  test("ivfTopK at nprobe=2 achieves recall ≥ 0.3 (partition-pruned path works)") {
+    val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
+    val withList = corpus.withColumn("list_id",
+      Similarity.withListId(corpus, "embedding", centroids))
+    val ivf = Similarity.ivfTopK(corpus.where(col("vec_id") < 5), withList,
+      "vec_id", "embedding", centroids, k = 10, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var hit = 0; var total = 0
+    (0L until 5L).foreach { qid =>
+      val truth = scalarTopK(qid, 10).map(_._1).toSet
+      total += truth.size
+      hit += (truth & ivf.getOrElse(qid, Set.empty)).size
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.3, s"nprobe=2 recall $recall")
+    assert(recall < 1.01)
+  }
+
+  test("embeddingNearDupPairs finds injected exact duplicates (recall 1.0 on dupes)") {
+    val withDupes = corpus.unionByName(
+      corpus.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val pairs = Similarity.embeddingNearDupPairs(withDupes, "vec_id", "embedding",
+      dim = dim, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach(i =>
+      assert(pairs.contains((i, i + 1000)), s"missing dupe pair $i"))
+  }
+
+  test("cosine column matches scalar kernel") {
+    val df = Seq((vecs(0)._2, vecs(1)._2)).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    val want = Kernels.cosineSimilarity(vecs(0)._2.map(_.toDouble), vecs(1)._2.map(_.toDouble))
+    assert(math.abs(got - want) < 1e-9)
+  }
+}

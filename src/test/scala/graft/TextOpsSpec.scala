@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Text-analysis operators: tokenization edge cases, shingles, quality score
+  * bounds, language-ID heuristic, fingerprint stability. */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokens: whitespace runs collapse; blank → empty array") {
+    val df = Seq("  a  b\tc ", "", "   ", "one").toDF("text")
+    val got = df.select(TextOps.tokens(col("text"))).as[Seq[String]].collect()
+    assert(got(0) == Seq("a", "b", "c"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+    assert(got(3) == Seq("one"))
+  }
+
+  test("tokenCount matches scalar split") {
+    val texts = Seq("a b c", "", "x", "a  b   c d")
+    val got = texts.toDF("text").select(TextOps.tokenCount(col("text"))).as[Int].collect()
+    assert(got.sameElements(Array(3, 0, 1, 4)))
+  }
+
+  test("shingles: n-grams as space-joined strings; short docs → empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(TextOps.shingles(TextOps.tokens(col("text")), 3))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("qualityScore in [0,1]; punctuation/digit-heavy text scores lower") {
+    val clean = "the quick brown fox jumps over the lazy dog again and again"
+    val noisy = "1234 5678 !!!! ???? ;;;; 9999 0000 ,,.."
+    val got = Seq(clean, noisy).toDF("text")
+      .select(TextOps.qualityScore(col("text"))).as[Double].collect()
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("langId picks the language with most stopword hits; 'und' when none") {
+    val df = Seq(
+      "the cat and the dog of a house is it",
+      "der hund und die katze ist ein tier",
+      "el perro y la casa es un gato",
+      "qwerty zzz xxx").toDF("text")
+    val got = df.select(TextOps.langId(TextOps.tokens(col("text")))).as[String].collect()
+    assert(got(0) == "en")
+    assert(got(1) == "de")
+    assert(got(2) == "es")
+    assert(got(3) == "und")
+  }
+
+  test("fingerprint: stable under whitespace layout, changes with content") {
+    val df = Seq(
+      "alpha beta gamma delta epsilon",
+      "alpha   beta\tgamma  delta epsilon",
+      "alpha beta gamma delta zeta").toDF("text")
+    val got = df.select(TextOps.fingerprint(col("text"))).as[Long].collect()
+    assert(got(0) == got(1), "whitespace-invariant")
+    assert(got(0) != got(2), "content-sensitive")
+  }
+
+  test("minhashSignature: equal sets → equal signatures; similarity ≈ matching fraction") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p"),
+      (3L, "q r s t u v w x y z a2 b2 c2 d2 e2 f2")).toDF("id", "text")
+    val sig = df.select(col("id"),
+      TextOps.minhashSignature(
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 2)), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    val matches = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(matches < 16, s"disjoint shingle sets should rarely collide ($matches/64)")
+  }
+}
