@@ -1,24 +1,139 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.Synth
+import graft.pipeline.FeaturePipeline
+import graft.sink.SnapshotSink
+import graft.temporal.Temporal
+
+/**
+ * Benchmark main. Two parts:
+ *
+ *  1. headline relational/text/embedding queries on SPARK_GRAFT_SF_DIR at
+ *     SPARK_GRAFT_CPUS (per-query wall seconds);
+ *
+ *  2. the flagship image pipeline (read input parquet → as-of model join →
+ *     decode→extract→VLAD→PCA→PQ → partitioned snapshot write) timed at TWO
+ *     parallelism levels — local[N] and local[4N] (sandbox stand-in for N vs
+ *     4N executors, BASELINE.md) — reporting feature-vectors/sec at both and
+ *     the scaling efficiency (t_N / t_4N) / 4. Input is generated once on
+ *     disk outside the timed section; models are minted once and reused, so
+ *     the timed job is exactly the steady-state ingest path.
+ *
+ * Prints ONE JSON line on stdout.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private val headline = Seq(
+    "q_agg_pricing", "q_join_agg", "q_asof_join", "q_backfill", "q_sessionize",
+    "q_window_agg", "q_topk_per_group", "q_token_count", "q_quality_score",
+    "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_ngram_jaccard",
+    "q_embed_knn", "q_embed_neardup")
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The timed flagship job: read input → as-of join → featurize → snapshot. */
+  private def runPipeline(spark: SparkSession, inputPath: String,
+                          modelDf: DataFrame,
+                          bundles: Map[Int, graft.model.ModelBundle],
+                          outTable: String): Long = {
+    val images = spark.read.parquet(inputPath)
+      .where(col("fmt").isin("png", "jpeg"))
+    val bound = Temporal.asOfJoin(images, modelDf, "ts", "valid_from")
+    val features = FeaturePipeline.featurize(bound, bundles, Synth.defaultConfig)
+      .withColumn("salt", pmod(col("phash"), lit(16)).cast("int"))
+    val snap = SnapshotSink.append(features, outTable, "image_id", Seq("salt"),
+      Map("input" -> inputPath, "model_versions" -> bundles.keys.toSeq.sorted.mkString(",")))
+    snap.rowCount
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ---- part 1: headline queries --------------------------------------
+    {
+      val spark = newSession(cpus)
+      val qs = SparkEntry.queries
+      headline.foreach { name =>
+        val t0 = System.nanoTime()
+        try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable =>
+          try qs(name)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+        }
+        results(name) = (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- part 2: flagship pipeline at N and 4N -------------------------
+    val nImages = if (sfDir.contains("sf0.1")) 12000L
+      else if (sfDir.contains("sf0.01")) 2000L else 400L
+    val work = Files.createTempDirectory("graft_bench")
+    val inputPath = work.resolve("images").toString
+    val lowCpus = math.max(1, cpus / 4)
+
+    // one-time setup (untimed): input table on disk + minted models
+    val (modelDfRows, bundles) = {
+      val spark = newSession(cpus)
+      val images = Synth.imageTable(spark, nImages, partitions = cpus * 2)
+      images.write.mode("overwrite").parquet(inputPath)
+      val minted = Synth.mintModels(spark, spark.read.parquet(inputPath)
+        .limit(300), nImages)
+      val rows = minted._1.collect()
+      spark.stop()
+      (rows, minted._2)
+    }
+
+    def modelDf(spark: SparkSession): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(modelDfRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("model_version",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("valid_from",
+            org.apache.spark.sql.types.TimestampType, nullable = false))))
+
+    var vectorsPerSec = 0.0
+    Seq(("pipeline_cN", lowCpus), ("pipeline_c4N", cpus)).foreach { case (label, c) =>
+      val spark = newSession(c)
+      // warmup (JIT + codegen), small slice, untimed
+      runPipeline(spark,
+        inputPath, modelDf(spark), bundles,
+        work.resolve(s"warm_$c").toString)
+      val t0 = System.nanoTime()
+      val rows = runPipeline(spark, inputPath, modelDf(spark), bundles,
+        work.resolve(s"out_$c").toString)
+      val sec = (System.nanoTime() - t0) / 1e9
+      results(s"${label}_sec") = sec
+      results(s"${label}_vec_per_sec") = rows / sec
+      if (c == cpus) vectorsPerSec = rows / sec
+      spark.stop()
+    }
+    val eff = (results("pipeline_cN_sec") / results("pipeline_c4N_sec")) / 4.0
+    results("scaling_efficiency_Nto4N") = eff
+    results("scaling_cpus_low") = lowCpus.toDouble
+    results("scaling_cpus_high") = cpus.toDouble
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    println(
+      f"""{"metric":"feature-vectors/sec (extract->asof->snapshot write)","value":$vectorsPerSec%.2f,"unit":"vec/sec","queries":$qs%s,"sf":"$sfDir%s"}""")
   }
 }

@@ -1,0 +1,227 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iceberg-shaped snapshot table on Parquet (SURVEY.md §7 step 7 — no Iceberg
+ * runtime jar offline, so the layout is reproduced: partitioned data files +
+ * an append-only `_snapshots/v{N}.json` manifest chain; a real Iceberg writer
+ * would be a thin adapter over this seam).
+ *
+ * Guarantees:
+ *  - atomic commit: data lands in `_staging/<uuid>` and is renamed into the
+ *    table before the manifest (the commit point) is written — readers only
+ *    see fully-written snapshots (the reference's single-writer BDB sink,
+ *    ds/AbstractSearchStructure.java:229–257, becomes concurrent partitioned
+ *    file commits with a manifest-last protocol);
+ *  - resume: `appendMissing` left-anti-joins the input against already-
+ *    committed keys (the F2 already-indexed dedup,
+ *    ds/AbstractSearchStructure.java:537–546);
+ *  - lineage + metrics per snapshot (north rule): per-partition row counts,
+ *    key column, model versions present, wall-clock, parent snapshot id.
+ */
+object SnapshotSink {
+
+  final case class Snapshot(
+      id: Int,
+      parentId: Int,
+      files: Seq[String],
+      rowCount: Long,
+      partitionRowCounts: Map[String, Long],
+      keyCol: String,
+      lineage: Map[String, String])
+
+  private def snapshotsDir(table: String): Path = Paths.get(table, "_snapshots")
+
+  def lastSnapshot(table: String): Option[Snapshot] = {
+    val dir = snapshotsDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val ids = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq
+    if (ids.isEmpty) None
+    else Some(readSnapshot(table, ids.max))
+  }
+
+  def readSnapshot(table: String, id: Int): Snapshot = {
+    val text = new String(
+      Files.readAllBytes(snapshotsDir(table).resolve(s"v$id.json")),
+      StandardCharsets.UTF_8)
+    parseSnapshot(text)
+  }
+
+  /**
+   * Append `df` to the table partitioned by `partitionCols`, committing a new
+   * snapshot. Returns the committed snapshot. `keyCol` is the resume identity.
+   */
+  def append(df: DataFrame, table: String, keyCol: String,
+             partitionCols: Seq[String],
+             lineage: Map[String, String] = Map.empty): Snapshot = {
+    val spark = df.sparkSession
+    val t0 = System.currentTimeMillis()
+    val parent = lastSnapshot(table)
+    val snapId = parent.map(_.id + 1).getOrElse(1)
+    val staging = Paths.get(table, "_staging", java.util.UUID.randomUUID().toString)
+    Files.createDirectories(staging)
+
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(staging.toString)
+
+    // move staged files into the table tree under a snapshot-unique suffix
+    val tableRoot = Paths.get(table)
+    Files.createDirectories(tableRoot)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    Files.walk(staging).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .foreach { p =>
+        val rel = staging.relativize(p.getParent).toString // partition subdirs
+        val destDir = if (rel.isEmpty) tableRoot else tableRoot.resolve(rel)
+        Files.createDirectories(destDir)
+        val dest = destDir.resolve(s"snap$snapId-${p.getFileName}")
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        moved += tableRoot.relativize(dest).toString
+      }
+    deleteRecursively(staging)
+
+    // per-partition row counts from the just-written files (metadata pass)
+    val written = spark.read.option("basePath", table).parquet(
+      moved.toSeq.map(f => tableRoot.resolve(f).toString): _*)
+    val partCounts: Map[String, Long] =
+      if (partitionCols.isEmpty) Map("" -> written.count())
+      else written
+        .groupBy(partitionCols.map(col): _*).count().collect()
+        .map(r => partitionCols.indices.map(i => r.get(i)).mkString("/") -> r.getLong(partitionCols.length))
+        .toMap
+    val rowCount = partCounts.values.sum
+
+    val snap = Snapshot(snapId, parent.map(_.id).getOrElse(0), moved.toSeq, rowCount,
+      partCounts, keyCol,
+      lineage ++ Map("commit_millis" -> (System.currentTimeMillis() - t0).toString))
+    // manifest write IS the commit point (write temp + atomic rename)
+    val dir = snapshotsDir(table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".v$snapId.json.tmp")
+    Files.write(tmp, renderSnapshot(snap).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"v$snapId.json"), StandardCopyOption.ATOMIC_MOVE)
+    snap
+  }
+
+  /** Read the current committed state (union of all snapshot files). */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val snaps = allSnapshots(table)
+    require(snaps.nonEmpty, s"no snapshots in $table")
+    val root = Paths.get(table)
+    val files = snaps.flatMap(_.files).map(f => root.resolve(f).toString)
+    spark.read.option("basePath", table).parquet(files: _*)
+  }
+
+  def allSnapshots(table: String): Seq[Snapshot] = {
+    val dir = snapshotsDir(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq.sorted
+      .map(readSnapshot(table, _))
+  }
+
+  /**
+   * Resumable append: write only input rows whose `keyCol` is not yet in the
+   * table (left-anti join — the F2 pattern). Returns None when nothing new.
+   */
+  def appendMissing(df: DataFrame, table: String, keyCol: String,
+                    partitionCols: Seq[String],
+                    lineage: Map[String, String] = Map.empty): Option[Snapshot] = {
+    val spark = df.sparkSession
+    val fresh = lastSnapshot(table) match {
+      case None => df
+      case Some(_) =>
+        val existing = read(spark, table).select(col(keyCol))
+        df.join(existing, Seq(keyCol), "left_anti")
+    }
+    if (fresh.isEmpty) None
+    else Some(append(fresh, table, keyCol, partitionCols, lineage))
+  }
+
+  // ------------------------------------------------------------- json (flat)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def renderSnapshot(s: Snapshot): String = {
+    val files = s.files.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    val parts = s.partitionRowCounts.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
+    val lin = s.lineage.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
+    s"""{"id":${s.id},"parent_id":${s.parentId},"row_count":${s.rowCount},""" +
+      s""""key_col":"${esc(s.keyCol)}","files":$files,""" +
+      s""""partition_row_counts":$parts,"lineage":$lin}"""
+  }
+
+  /** Minimal parser for the flat JSON we render (no nested objects beyond the
+    * two maps, no arrays of objects). */
+  private def parseSnapshot(text: String): Snapshot = {
+    def intField(name: String): Long = {
+      val m = ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(text)
+      m.get.group(1).toLong
+    }
+    def strField(name: String): String = {
+      val m = ("\"" + name + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(text)
+      unesc(m.get.group(1))
+    }
+    def block(name: String, open: Char, close: Char): String = {
+      val start = text.indexOf("\"" + name + "\":") + name.length + 3
+      var depth = 0; var i = start; val sb = new StringBuilder
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c == open) depth += 1
+        if (depth > 0) sb.append(c)
+        if (c == close) { depth -= 1; if (depth == 0) return sb.toString }
+        i += 1
+      }
+      sb.toString
+    }
+    val filesBlock = block("files", '[', ']')
+    val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(filesBlock).map(m => unesc(m.group(1))).toSeq
+    val partsBlock = block("partition_row_counts", '{', '}')
+    val parts = "\"((?:[^\"\\\\]|\\\\.)*)\":(\\d+)".r
+      .findAllMatchIn(partsBlock).map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
+    val linBlock = block("lineage", '{', '}')
+    val lin = "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(linBlock).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    Snapshot(intField("id").toInt, intField("parent_id").toInt, files,
+      intField("row_count"), parts, strField("key_col"), lin)
+  }
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\")
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  implicit private class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): T = it.next()
+    }
+  }
+}
