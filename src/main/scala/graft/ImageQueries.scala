@@ -134,6 +134,44 @@ object ImageQueries {
         .orderBy(col("adc_dist").asc, col("image_id").asc)
         .limit(5)
         .select(col("image_id").as("neighbor_id"), col("adc_dist"), col("list_id"))
+    }),
+
+    // IVFPQ k-NN (T4, ds/IVFPQ.java:408–450): probe only the w nearest coarse
+    // lists — the `list_id` predicate prunes partitions when the code table is
+    // partitioned by list_id (SnapshotSink does this; proven in
+    // IvfSnapshotSpec), then ADC within the surviving lists.
+    "q_image_ivf_knn" -> ((s, dir) => {
+      val c = pipeline(s, dir)
+      val feats = c.features.where(col("error").isNull)
+      val queryRow = feats.where(col("image_id") === "img_00000002")
+        .select("vector", "model_version").head()
+      val qv = queryRow.getSeq[Double](0).toArray
+      val bundle = c.bundles(queryRow.getInt(1))
+      val w = 2 // probe width (reference default: 10% of k_c, IVFPQ.java:188)
+      val probed = graft.kernels.Kernels.kNearestCentroids(qv, bundle.coarseQuantizer, w)
+      val luts = probed.map { li =>
+        val res = graft.kernels.Kernels.residual(qv, bundle.coarseQuantizer(li))
+        li -> graft.kernels.Kernels.adcLookupTable(bundle.transform(res), bundle.pq)
+      }
+      // per-probed-list LUT selected by a chained when() on list_id
+      val m = bundle.pq.numSubVectors
+      val lutFor = luts.map { case (li, lut) =>
+        li -> array(lut.map(rowArr => array(rowArr.map(lit): _*)): _*)
+      }
+      val lutCol = lutFor.tail.foldLeft(
+        when(col("list_id") === lutFor.head._1, lutFor.head._2)) {
+        case (acc, (li, c2)) => acc.when(col("list_id") === li, c2)
+      }
+      val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(element_at(lutCol, j + 1),
+          element_at(col("pq_code"), j + 1) + 1))
+      feats
+        .where(col("list_id").isin(probed.map(Integer.valueOf): _*) &&
+          col("image_id") =!= "img_00000002")
+        .withColumn("adc_dist", round(adc, 9))
+        .orderBy(col("adc_dist").asc, col("image_id").asc)
+        .limit(5)
+        .select(col("image_id").as("neighbor_id"), col("adc_dist"), col("list_id"))
     })
   )
 }

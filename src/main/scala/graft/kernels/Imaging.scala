@@ -119,6 +119,34 @@ object Imaging {
     cur
   }
 
+  /** Square thumbnail: scale so the MIN dimension hits `target`, then
+    * center-crop the larger dimension to `target`
+    * (ext/ImageScaling.java:167–242). */
+  def squareThumbScaling(r: Raster, target: Int): Raster = {
+    val ratio = target.toDouble / math.min(r.w, r.h)
+    val tw = math.max(target, (r.w * ratio).toInt)
+    val th = math.max(target, (r.h * ratio).toInt)
+    val scaled = bilinearResize(r, tw, th)
+    val x0 = (tw - target) / 2
+    val y0 = (th - target) / 2
+    val out = new Array[Int](target * target)
+    var y = 0
+    while (y < target) {
+      System.arraycopy(scaled.pixels, (y0 + y) * tw + x0, out, y * target, target)
+      y += 1
+    }
+    Raster(target, target, out)
+  }
+
+  /** Rect scaling: scale so the MAX dimension hits `target`; no-op if already
+    * within (ext/ImageScaling.java:274–334). */
+  def rectScaling(r: Raster, target: Int): Raster = {
+    val maxDim = math.max(r.w, r.h)
+    if (maxDim <= target) return r
+    val ratio = target.toDouble / maxDim
+    bilinearResize(r, math.max(1, (r.w * ratio).toInt), math.max(1, (r.h * ratio).toInt))
+  }
+
   // --------------------------------------------------------------------- grey
 
   /** Luminance (ITU-R BT.601 int approximation, deterministic). */

@@ -52,6 +52,15 @@ object Learning {
       .map { case (b, rows) =>
         b -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
       }
+    // fewer distinct vectors than k: pad with the reference's unreachable
+    // sentinel centroids (qnt/ProductQuantizationLearning.java:285–303)
+    emptySentinel.foreach { s =>
+      centroids = centroids.map { case (b, cents) =>
+        if (cents.length >= k) b -> cents
+        else b -> (cents ++ Array.fill(k - cents.length)(
+          Array.fill(cents(0).length)(s)))
+      }
+    }
     require(centroids.values.forall(_.length == k),
       s"need >= $k distinct vectors per block")
     val blocks = centroids.keys.toArray.sorted
