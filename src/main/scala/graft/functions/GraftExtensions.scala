@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * SparkSessionExtensions hook: registers the custom Catalyst image
+ * expressions for SQL use at session build time —
+ * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+ * `spark.sql.extensions=graft.functions.GraftExtensions`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("decode_image"),
+      new ExpressionInfo(classOf[ImageExpressions.DecodeImage].getName, "decode_image"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ImageExpressions.DecodeImage(e.head)))
+    ext.injectFunction((FunctionIdentifier("scale_max_pixels"),
+      new ExpressionInfo(classOf[ImageExpressions.ScaleMaxPixels].getName, "scale_max_pixels"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ImageExpressions.ScaleMaxPixels(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("phash64"),
+      new ExpressionInfo(classOf[ImageExpressions.PHash64].getName, "phash64"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ImageExpressions.PHash64(e.head)))
+    ext.injectFunction((FunctionIdentifier("img_psnr"),
+      new ExpressionInfo(classOf[ImageExpressions.ImgPsnr].getName, "img_psnr"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ImageExpressions.ImgPsnr(e.head, e(1))))
+  }
+}

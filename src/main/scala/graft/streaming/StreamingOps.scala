@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming counterparts of the temporal operators. The reference
+ * is strictly batch (SURVEY.md §2.10) — its "pipeline" is a bounded
+ * producer/consumer loop (exm/UrlIndexingMT.java:121–203) — so these exist as
+ * the streaming-ingest path of OUR engine: the same event-time semantics as
+ * graft.temporal.Temporal, expressed with watermarks + state stores so a
+ * 100 TB backfill job and a live ingest job share one definition of
+ * "session" / "window".
+ */
+object StreamingOps {
+
+  /** Watermarked sliding-window aggregation over an event stream
+    * (readStream → window → agg; append mode compatible). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "5 minutes",
+                     slide: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionUpdate(user_id: Long, session_seq: Long, n_events: Long,
+                                 start_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+  final case class SessionState(seq: Long, n: Long, startMs: Long, lastMs: Long)
+
+  /**
+   * Streaming sessionize via flatMapGroupsWithState: same gap rule as
+   * Temporal.sessionize (gap > threshold ⇒ new session id). Emits one update
+   * per batch per touched session. ProcessingTimeTimeout keeps the example
+   * self-contained; production would use EventTimeTimeout + watermark.
+   */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.lastMs == Long.MinValue || (t - st.lastMs) / 1000 > gapSeconds)
+                SessionState(st.seq + 1, 1L, t, t)
+              else st.copy(n = st.n + 1, lastMs = t)
+            out += SessionUpdate(userId, st.seq, st.n,
+              new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.lastMs))
+          }
+          state.update(st)
+          // emit only the final state per session touched in this batch
+          out.groupBy(_.session_seq).values.map(_.last).toSeq.sortBy(_.session_seq).iterator
+        })
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.SessionEvent
+
+/** Streaming surface: watermarked windowed agg and stateful sessionize agree
+  * with the batch Temporal semantics on the same data. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming windowed counts match batch groupBy on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val agg = StreamingOps.windowedCounts(events, "ts", "user_id")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    val data = (0 until 60).map(i => ((i % 3).toLong, ts(i.toLong), i.toDouble))
+    input.addData(data: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("win_out")
+      .select(col("window.start"), col("user_id"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = data.toDF("user_id", "ts", "value")
+      .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start"), col("user_id"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("streaming sessionize: same session boundaries as the batch gap rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val updates = StreamingOps.sessionize(input.toDS(), gapSeconds = 600)
+    val q = updates.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // user 1: minutes 0,5,9 (one session), then 25,27 (second session)
+    input.addData(
+      SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(5), 1.0),
+      SessionEvent(1L, ts(9), 1.0), SessionEvent(1L, ts(25), 1.0),
+      SessionEvent(1L, ts(27), 1.0))
+    q.processAllAvailable()
+    // late batch continues session 2 (minute 30, gap 3 min) then opens session 3
+    input.addData(SessionEvent(1L, ts(30), 1.0), SessionEvent(1L, ts(60), 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_out")
+      .select("session_seq", "n_events").as[(Long, Long)].collect().toSeq
+    // final per-session counts: s1=3, s2 grew 2→3 across batches, s3=1
+    val lastPerSession = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(lastPerSession == Map(1L -> 3L, 2L -> 3L, 3L -> 1L), s"got $rows")
+  }
+}
