@@ -41,22 +41,35 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the synthetic input is ~100 MB of small files; default 128 MB
+      // bin-packing would give the decode stage only 1-3 scan partitions and
+      // serialize the pipeline. At production scale (multi-GB files) the
+      // default is right; here the split size must track cores.
+      .config("spark.sql.files.maxPartitionBytes", (2L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (128L * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** The timed flagship job: read input → as-of join → featurize → snapshot. */
+  /** The timed flagship job: read input → as-of join → featurize → snapshot.
+    * Output files are sized explicitly: numSalts × K writer groups
+    * (K = cores/16, min 1) so one hot salt cannot produce one hot file and
+    * write parallelism tracks the cluster (at 100 TB, K = bytes/128 MB). */
   private def runPipeline(spark: SparkSession, inputPath: String,
                           modelDf: DataFrame,
                           bundles: Map[Int, graft.model.ModelBundle],
-                          outTable: String): Long = {
+                          outTable: String, cpus: Int): Long = {
     val images = spark.read.parquet(inputPath)
       .where(col("fmt").isin("png", "jpeg"))
     val bound = Temporal.asOfJoin(images, modelDf, "ts", "valid_from")
+    val numSalts = 16
+    val k = math.max(1, cpus / numSalts)
     val features = FeaturePipeline.featurize(bound, bundles, Synth.defaultConfig)
-      .withColumn("salt", pmod(col("phash"), lit(16)).cast("int"))
+      .withColumn("salt", pmod(col("phash"), lit(numSalts)).cast("int"))
+      .repartition(numSalts * k,
+        col("salt") * k + pmod(xxhash64(col("image_id")), lit(k)))
     val snap = SnapshotSink.append(features, outTable, "image_id", Seq("salt"),
       Map("input" -> inputPath, "model_versions" -> bundles.keys.toSeq.sorted.mkString(",")))
     snap.rowCount
@@ -113,13 +126,26 @@ object Bench {
     var vectorsPerSec = 0.0
     Seq(("pipeline_cN", lowCpus), ("pipeline_c4N", cpus)).foreach { case (label, c) =>
       val spark = newSession(c)
-      // warmup (JIT + codegen), small slice, untimed
-      runPipeline(spark,
-        inputPath, modelDf(spark), bundles,
-        work.resolve(s"warm_$c").toString)
+      // warmup (JIT + codegen) on a slice, untimed
+      locally {
+        val warmImages = spark.read.parquet(inputPath).limit(800)
+        val warmPath = work.resolve(s"warm_in_$c").toString
+        warmImages.write.mode("overwrite").parquet(warmPath)
+        runPipeline(spark, warmPath, modelDf(spark), bundles,
+          work.resolve(s"warm_$c").toString, c)
+      }
+      // phase diagnostic: featurize-only wall (noop write, no snapshot)
+      locally {
+        val images = spark.read.parquet(inputPath).where(col("fmt").isin("png", "jpeg"))
+        val bound = Temporal.asOfJoin(images, modelDf(spark), "ts", "valid_from")
+        val t0 = System.nanoTime()
+        FeaturePipeline.featurize(bound, bundles, Synth.defaultConfig)
+          .write.mode("overwrite").format("noop").save()
+        results(s"${label}_featurize_sec") = (System.nanoTime() - t0) / 1e9
+      }
       val t0 = System.nanoTime()
       val rows = runPipeline(spark, inputPath, modelDf(spark), bundles,
-        work.resolve(s"out_$c").toString)
+        work.resolve(s"out_$c").toString, c)
       val sec = (System.nanoTime() - t0) / 1e9
       results(s"${label}_sec") = sec
       results(s"${label}_vec_per_sec") = rows / sec

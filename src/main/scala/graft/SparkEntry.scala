@@ -23,8 +23,9 @@ object SparkEntry {
   /** Deterministic near-duplicate injection for the dedup operators: the
     * first `n` documents are re-emitted with doc_id+1000000 and one token
     * appended — same construction in the SQL oracle. */
-  private def docsWithDupes(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  private def docsWithDupes(spark: SparkSession, dir: String, n: Int = 20,
+                            maxDocs: Long = Long.MaxValue): DataFrame = {
+    val docs = t(spark, dir, "documents").where(col("doc_id") < maxDocs)
     val dupes = docs.where(col("doc_id") < n)
       .select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
@@ -221,9 +222,12 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
-    // Exact n-gram Jaccard near-dup pairs (inverted-index join).
+    // Exact n-gram Jaccard near-dup pairs (inverted-index join). Exact
+    // all-pairs verification is quadratic in shingle document-frequency, so
+    // it runs on a bounded slice (doc_id < 500) — the LSH paths
+    // (q_minhash_lsh / q_simhash) are the full-corpus scale route.
     "q_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docsWithDupes(s, dir), "doc_id", "text",
+      Dedup.ngramJaccardPairs(docsWithDupes(s, dir, maxDocs = 500L), "doc_id", "text",
         shingleN = 3, threshold = 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -402,7 +406,7 @@ object SparkEntry {
 
     "q_ngram_jaccard" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
         |  FROM documents WHERE doc_id < 20

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Drop candidate buckets larger than `maxBucket` before the within-bucket
+    * self-join — the standard LSH guard against quadratic hot buckets (a
+    * bucket of size B contributes B² candidate pairs; a bucket that large is
+    * dominated by indiscriminate collisions, not near-duplicates). A pair is
+    * lost only if EVERY one of its bands lands in a hot bucket. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val ok = banded.groupBy(keys.map(col): _*).count()
+      .where(col("count") <= maxBucket).drop("count")
+    banded.join(ok, keys, "left_semi")
+  }
+
   /** Exact dedup groups: content key → representative id + duplicate count. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(col(textCol))
@@ -40,7 +51,7 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val toks = TextOps.tokens(col(textCol))
     val withSig = df
@@ -55,8 +66,9 @@ object Dedup {
           b => xxhash64(concat_ws(",",
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               _.cast("string")))))).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b")
@@ -80,7 +92,8 @@ object Dedup {
    * precision.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, chunks: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < chunks, "banding guarantee needs maxHamming < chunks")
     val bitsPer = 64 / chunks
     val sims = simhashTable(df, idCol, textCol)
@@ -89,8 +102,9 @@ object Dedup {
         sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("simhash"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
-    val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    val capped = capBuckets(banded, Seq("chunk", "key"), maxBucket)
+    val a = capped.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = capped.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk", "key"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

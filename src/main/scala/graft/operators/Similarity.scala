@@ -128,14 +128,18 @@ object Similarity {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
                             bits: Int = 32, chunks: Int = 4,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val bitsPer = bits / chunks
     val hashed = df.select(col(idCol), col(vecCol).as("v"),
       hyperplaneHash(col(vecCol), dim, bits, seed).as("hh"))
-    val banded = hashed.select(col(idCol), col("v"),
+    val banded0 = hashed.select(col(idCol), col("v"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("hh"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
+    // quadratic-hot-bucket guard (see Dedup.capBuckets rationale)
+    val ok = banded0.groupBy(col("chunk"), col("key")).count()
+      .where(col("count") <= maxBucket).drop("count")
+    val banded = banded0.join(ok, Seq("chunk", "key"), "left_semi")
     val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("v").as("v_a"))
     val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("chunk", "key"))

@@ -87,34 +87,21 @@ object TextOps {
 
   /**
    * 64-bit SimHash over token unigrams: bit b of the result is 1 iff
-   * Σ_tokens (bit b of xxhash64(token) ? +1 : −1) > 0. Row-local nested
-   * higher-order aggregates — no shuffle, no UDF.
+   * Σ_tokens (bit b of hash(token) ? +1 : −1) > 0. Native Catalyst expression
+   * (graft.functions.TextExpressions.SimHash64) — the HOF formulation was
+   * interpreted per element and dominated dedup benchmarks.
    */
   def simhash64(tokenArr: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val vote = aggregate(
-          tokenArr,
-          lit(0),
-          (a, t) => a + when(call_function("shiftright", xxhash64(t), b)
-            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        acc.bitwiseOR(call_function("shiftleft",
-          when(vote > 0, lit(1L)).otherwise(lit(0L)), b))
-      })
+    graft.functions.TextExpressions.simhash64(tokenArr)
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * MinHash signature: numHashes permutations simulated by salting xxhash64
-   * with the hash index; signature[i] = min over shingles of xxhash64(shingle
-   * ⊕ salt_i). Empty shingle set → null signature (caller filters).
+   * MinHash signature of length numHashes (native Catalyst expression,
+   * 2-universal g_i = h1 + i·h2 family). Empty shingle set → null signature
+   * (caller filters).
    */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    when(size(shingleArr) === 0, lit(null))
-      .otherwise(transform(
-        sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(shingleArr, s => xxhash64(concat(s, lit("#"), i.cast("string")))))))
+    graft.functions.TextExpressions.minhash_signature(shingleArr, numHashes)
 }
