@@ -136,6 +136,38 @@ object ImageQueries {
         .select(col("image_id").as("neighbor_id"), col("adc_dist"), col("list_id"))
     }),
 
+    // BoW aggregation (P12, agg/BowAggregator.java:39–74, hard assignment):
+    // per-image histogram of nearest-centroid counts over the v1 codebook.
+    "q_image_bow" -> ((s, dir) => {
+      val c = pipeline(s, dir)
+      val codebook = c.bundles(1).codebooks(0)
+      val bc = s.sparkContext.broadcast(codebook)
+      val cfg = graft.data.Synth.defaultConfig
+      val images = graft.data.Synth.imageTable(s, math.min(nFor(dir), 200L))
+        .where(col("fmt").isin("png", "jpeg"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("image_id",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_desc",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("top_bin",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("top_count",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rdd = images.select("image_id", "bytes").rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          graft.kernels.Imaging.decode(r.getAs[Array[Byte]](1)).map { raster =>
+            val descs = cfg.extractor.extract(
+              graft.kernels.Imaging.maxPixelsScaling(raster, cfg.maxPixels))
+            val hist = graft.kernels.Kernels.bow(descs, bc.value)
+            val top = hist.indices.maxBy(i => (hist(i), -i))
+            org.apache.spark.sql.Row(r.getString(0), descs.length, top, hist(top))
+          }
+        }
+      }
+      s.createDataFrame(rdd, schema).orderBy("image_id")
+    }),
+
     // IVFPQ k-NN (T4, ds/IVFPQ.java:408–450): probe only the w nearest coarse
     // lists — the `list_id` predicate prunes partitions when the code table is
     // partitioned by list_id (SnapshotSink does this; proven in

@@ -183,6 +183,18 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     }),
 
+    // First-value-per-key dedup (A10, mr/VisualReducer.java:18–25 — made
+    // deterministic: earliest by (ts, event_id) instead of "first seen").
+    "q_dedup_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // ------------------------------------------------------ text analysis
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -378,6 +390,13 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders
         |) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_dedup_first" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
