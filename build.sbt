@@ -29,4 +29,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // decode-heavy pipeline allocates several MB/image; throughput GC wins
+  "-XX:+UseParallelGC",
 )

@@ -16,6 +16,11 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
  */
 object Imaging {
 
+  // ImageIO defaults to DISK-backed stream caching: every decode/encode spins
+  // up a temp file — at 32 concurrent decode tasks that serializes the whole
+  // pipeline on /tmp I/O. Images here are in-memory byte arrays; cache in heap.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Raster(w: Int, h: Int, pixels: Array[Int]) {
     require(pixels.length == w * h, s"raster ${w}x$h but ${pixels.length} pixels")
   }

@@ -90,15 +90,17 @@ object SnapshotSink {
       }
     deleteRecursively(staging)
 
-    // per-partition row counts from the just-written files (metadata pass)
-    val written = spark.read.option("basePath", table).parquet(
-      moved.toSeq.map(f => tableRoot.resolve(f).toString): _*)
-    val partCounts: Map[String, Long] =
-      if (partitionCols.isEmpty) Map("" -> written.count())
-      else written
-        .groupBy(partitionCols.map(col): _*).count().collect()
-        .map(r => partitionCols.indices.map(i => r.get(i)).mkString("/") -> r.getLong(partitionCols.length))
-        .toMap
+    // per-partition row counts from parquet footers (driver metadata pass —
+    // no extra Spark job; footer read is O(files), not O(rows))
+    val partCounts: Map[String, Long] = moved.toSeq
+      .groupBy { f =>
+        val dir = Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
+        // "salt=3/salt2=…" → "3/…" (values only, matching groupBy output)
+        dir.split("/").filter(_.contains("=")).map(_.split("=", 2)(1)).mkString("/")
+      }
+      .map { case (part, files) =>
+        part -> files.map(f => parquetRowCount(tableRoot.resolve(f))).sum
+      }
     val rowCount = partCounts.values.sum
 
     val snap = Snapshot(snapId, parent.map(_.id).getOrElse(0), moved.toSeq, rowCount,
@@ -149,6 +151,15 @@ object SnapshotSink {
     }
     if (fresh.isEmpty) None
     else Some(append(fresh, table, keyCol, partitionCols, lineage))
+  }
+
+  /** Row count from a parquet file footer (driver-side, no Spark job). */
+  private def parquetRowCount(file: Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+    try reader.getRecordCount finally reader.close()
   }
 
   // ------------------------------------------------------------- json (flat)
