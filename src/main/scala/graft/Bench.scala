@@ -75,6 +75,9 @@ object Bench {
     snap.rowCount
   }
 
+  private def logPhase(msg: String): Unit =
+    System.err.println(s"[bench ${java.time.Instant.now()}] $msg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -85,6 +88,7 @@ object Bench {
       val spark = newSession(cpus)
       val qs = SparkEntry.queries
       headline.foreach { name =>
+        logPhase(s"query $name")
         val t0 = System.nanoTime()
         try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case _: Throwable =>
@@ -99,7 +103,7 @@ object Bench {
     // ---- part 2: flagship pipeline at N and 4N -------------------------
     // sized so per-image compute dominates the ~1s fixed job overhead at the
     // high parallelism level (the scaling-efficiency denominator)
-    val nImages = if (sfDir.contains("sf0.1")) 80000L
+    val nImages = if (sfDir.contains("sf0.1")) 120000L
       else if (sfDir.contains("sf0.01")) 2000L else 400L
     val work = Files.createTempDirectory("graft_bench")
     val inputPath = work.resolve("images").toString
@@ -113,10 +117,13 @@ object Bench {
     // one-time setup (untimed): input table on disk + minted models
     val (modelDfRows, bundles) = {
       val spark = newSession(cpus)
-      val images = Synth.imageTable(spark, nImages, partitions = cpus * 2)
+      logPhase(s"generating $nImages images -> $inputPath")
+      val images = Synth.imageTable(spark, nImages, partitions = cpus * 2,
+        jpegBias = true)
       images.write.mode("overwrite").parquet(inputPath)
+      logPhase("minting models")
       val minted = Synth.mintModels(spark, spark.read.parquet(inputPath)
-        .limit(300), nImages)
+        .limit(300), nImages, iterations = 4)
       val rows = minted._1.collect()
       spark.stop()
       (rows, minted._2)
@@ -133,6 +140,7 @@ object Bench {
     var vectorsPerSec = 0.0
     Seq(("pipeline_cN", lowCpus), ("pipeline_c4N", highCpus)).foreach { case (label, c) =>
       val spark = newSession(c)
+      logPhase(s"$label: warmup at local[$c]")
       // warmup (JIT + codegen) on a slice, untimed
       locally {
         val warmImages = spark.read.parquet(inputPath).limit(800)
@@ -141,8 +149,9 @@ object Bench {
         runPipeline(spark, warmPath, modelDf(spark), bundles,
           work.resolve(s"warm_$c").toString, c)
       }
-      // phase diagnostic: featurize-only wall (noop write, no snapshot)
-      locally {
+      // phase diagnostic (optional): featurize-only wall, no snapshot
+      if (sys.env.contains("SPARK_GRAFT_DIAG")) locally {
+        logPhase(s"$label: featurize-only diagnostic")
         val images = spark.read.parquet(inputPath).where(col("fmt").isin("png", "jpeg"))
         val bound = Temporal.asOfJoin(images, modelDf(spark), "ts", "valid_from")
         val t0 = System.nanoTime()
@@ -158,7 +167,9 @@ object Bench {
         val t0 = System.nanoTime()
         rows = runPipeline(spark, inputPath, modelDf(spark), bundles,
           work.resolve(s"out_${c}_$rep").toString, c)
-        bestSec = math.min(bestSec, (System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        logPhase(f"$label rep$rep: $sec%.2f s ($rows rows)")
+        bestSec = math.min(bestSec, sec)
       }
       results(s"${label}_sec") = bestSec
       results(s"${label}_vec_per_sec") = rows / bestSec

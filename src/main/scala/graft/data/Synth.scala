@@ -49,7 +49,11 @@ object Synth {
   /** One deterministic row keyed by (seed, i). Edge rows (FIXTURES.md §1):
     * i==0 uniform raster (zero keypoints), i==1 corrupt bytes, i==2 greyscale
     * JPEG. ~20% of rows share one hot phash (skew for salting). */
-  def imageRow(seed: Long, i: Long): Row = {
+  def imageRow(seed: Long, i: Long): Row = imageRow(seed, i, jpegBias = false)
+
+  /** jpegBias=true → 7/8 JPEG rows: decode workload is equivalent but
+    * generation avoids the slow JDK PNG deflate (bench-input profile). */
+  def imageRow(seed: Long, i: Long, jpegBias: Boolean): Row = {
     val (w, h) = sizes((i % sizes.length).toInt)
     val rnd = new java.util.Random(seed * 7919L + i)
     val caption = s"a ${colors(rnd.nextInt(colors.length))} " +
@@ -60,6 +64,7 @@ object Synth {
     val fmt =
       if (i == 1L) "png" // corrupt row — fmt label irrelevant
       else if (i % 37L == 5L) "gif"
+      else if (jpegBias) { if (i % 8L == 0L) "png" else "jpeg" }
       else if (i % 2L == 0L) "png"
       else "jpeg"
     val bytes: Array[Byte] =
@@ -79,10 +84,10 @@ object Synth {
 
   /** Distributed deterministic image table of n rows. */
   def imageTable(spark: SparkSession, n: Long, seed: Long = 42L,
-                 partitions: Int = 0): DataFrame = {
+                 partitions: Int = 0, jpegBias: Boolean = false): DataFrame = {
     val parts = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    val rdd = spark.range(0, n, 1, parts).rdd.map(i => imageRow(seed, i))
+    val rdd = spark.range(0, n, 1, parts).rdd.map(i => imageRow(seed, i, jpegBias))
     spark.createDataFrame(rdd, imageSchema)
   }
 
@@ -125,9 +130,9 @@ object Synth {
     * distributed learning jobs (SURVEY.md §7 step 9). Deterministic given
     * (images, version). */
   def mintBundle(images: DataFrame, version: Int, dims: ModelDims = ModelDims(),
-                 cfg: PipelineConfig = defaultConfig): ModelBundle = {
+                 cfg: PipelineConfig = defaultConfig, iterations: Int = 8): ModelBundle = {
     val desc = FeaturePipeline.descriptorTable(images, cfg).cache()
-    val codebook = Learning.lloydKMeansSingle(desc, dims.codebookK)
+    val codebook = Learning.lloydKMeansSingle(desc, dims.codebookK, iterations)
     desc.unpersist()
     val codebooks = Array(codebook)
     val vlads = FeaturePipeline.vladTable(images, codebooks, cfg).cache()
@@ -142,7 +147,7 @@ object Synth {
       vlads.rdd.map(r =>
         Row(Kernels.pcaProject(r.getSeq[Double](0).toArray, bcPca.value).toSeq)),
       projSchema).cache()
-    val coarse = Learning.lloydKMeansSingle(projected, dims.coarseK)
+    val coarse = Learning.lloydKMeansSingle(projected, dims.coarseK, iterations)
     val transform = PermutationTransform(
       Kernels.randomPermutationIndices(1, dims.pcaDim)) // seed=1, ds/PQ.java:108
     val bcCoarse = spark.sparkContext.broadcast(coarse)
@@ -152,7 +157,7 @@ object Synth {
         val li = Kernels.nearestCentroid(v, bcCoarse.value)
         Row(transform(Kernels.residual(v, bcCoarse.value(li))).toSeq)
       }, projSchema)
-    val pq = Learning.learnPq(residuals, dims.pqM, dims.pqK)
+    val pq = Learning.learnPq(residuals, dims.pqM, dims.pqK, iterations)
     projected.unpersist(); vlads.unpersist()
     ModelBundle(version, codebooks, pca, coarse, pq, transform)
   }
@@ -166,11 +171,12 @@ object Synth {
    * table DataFrame for the as-of join. Deterministic.
    */
   def mintModels(spark: SparkSession, images: DataFrame, n: Long,
-                 dims: ModelDims = ModelDims(), cfg: PipelineConfig = defaultConfig)
+                 dims: ModelDims = ModelDims(), cfg: PipelineConfig = defaultConfig,
+                 iterations: Int = 8)
       : (DataFrame, Map[Int, ModelBundle]) = {
     val clean = images.where(col("image_id") =!= "img_00000001") // corrupt row out
-    val v1 = mintBundle(clean.where(pmod(xxhash64(col("image_id")), lit(2)) === 0), 1, dims, cfg)
-    val v2 = mintBundle(clean.where(pmod(xxhash64(col("image_id")), lit(2)) === 1), 2, dims, cfg)
+    val v1 = mintBundle(clean.where(pmod(xxhash64(col("image_id")), lit(2)) === 0), 1, dims, cfg, iterations)
+    val v2 = mintBundle(clean.where(pmod(xxhash64(col("image_id")), lit(2)) === 1), 2, dims, cfg, iterations)
     val v2From = new Timestamp(baseTsMillis + (n * 6 / 10) * tsStepMillis)
     val modelDf = spark.createDataFrame(
       java.util.Arrays.asList(

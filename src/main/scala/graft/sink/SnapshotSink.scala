@@ -153,11 +153,12 @@ object SnapshotSink {
     else Some(append(fresh, table, keyCol, partitionCols, lineage))
   }
 
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
   /** Row count from a parquet file footer (driver-side, no Spark job). */
   private def parquetRowCount(file: Path): Long = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toString), conf)
+      new org.apache.hadoop.fs.Path(file.toString), hadoopConf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
     try reader.getRecordCount finally reader.close()
   }
