@@ -35,7 +35,10 @@ final case class GridPatchExtractor(grid: Int = 4, minStd: Double = 1.0)
   override val descriptorLength: Int = 8
 
   override def extract(r: Raster): Array[Array[Double]] = {
-    val g = Imaging.grey(r)
+    // float32 luma plane: the grey image is read ~3x per pixel, so one
+    // compact precomputed plane beats both double[] (2x memory) and inline
+    // recompute (3x flops) — the pipeline is bandwidth-bound at full box load
+    val g = Imaging.greyF(r)
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     var cy = 0
     while (cy < grid) {
@@ -54,7 +57,7 @@ final case class GridPatchExtractor(grid: Int = 4, minStd: Double = 1.0)
     out.toArray
   }
 
-  private def cellDescriptor(g: Array[Double], w: Int,
+  private def cellDescriptor(g: Array[Float], w: Int,
                              x0: Int, y0: Int, x1: Int, y1: Int): Array[Double] = {
     var sum = 0.0; var sumSq = 0.0; var n = 0
     var sumDx = 0.0; var sumDy = 0.0
@@ -64,7 +67,7 @@ final case class GridPatchExtractor(grid: Int = 4, minStd: Double = 1.0)
     while (y < y1) {
       var x = x0
       while (x < x1) {
-        val v = g(y * w + x)
+        val v: Double = g(y * w + x)
         sum += v; sumSq += v * v; n += 1
         if (x + 1 < x1) sumDx += g(y * w + x + 1) - v
         if (y + 1 < y1) sumDy += g((y + 1) * w + x) - v

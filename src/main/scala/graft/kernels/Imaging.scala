@@ -166,6 +166,21 @@ object Imaging {
     out
   }
 
+  /** Luminance as float32 — half the memory traffic of the double variant;
+    * used by the hot extract path (pipeline is bandwidth-bound at full box
+    * occupancy). */
+  def greyF(r: Raster): Array[Float] = {
+    val out = new Array[Float](r.pixels.length)
+    var i = 0
+    while (i < r.pixels.length) {
+      val p = r.pixels(i)
+      out(i) = (0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+        0.114 * (p & 0xff)).toFloat
+      i += 1
+    }
+    out
+  }
+
   // --------------------------------------------------------------------- hash
 
   /** 64-bit average hash: box-average to 8×8 grey, bit i set iff cell > mean.

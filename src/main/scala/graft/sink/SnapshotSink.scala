@@ -73,6 +73,7 @@ object SnapshotSink {
     df.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(staging.toString)
+    val tWrite = System.currentTimeMillis()
 
     // move staged files into the table tree under a snapshot-unique suffix
     val tableRoot = Paths.get(table)
@@ -105,7 +106,10 @@ object SnapshotSink {
 
     val snap = Snapshot(snapId, parent.map(_.id).getOrElse(0), moved.toSeq, rowCount,
       partCounts, keyCol,
-      lineage ++ Map("commit_millis" -> (System.currentTimeMillis() - t0).toString))
+      lineage ++ Map(
+        "commit_millis" -> (System.currentTimeMillis() - t0).toString,
+        "write_millis" -> (tWrite - t0).toString,
+        "fs_millis" -> (System.currentTimeMillis() - tWrite).toString))
     // manifest write IS the commit point (write temp + atomic rename)
     val dir = snapshotsDir(table)
     Files.createDirectories(dir)
