@@ -25,7 +25,11 @@ object SparkEntry {
     * appended — same construction in the SQL oracle. */
   private def docsWithDupes(spark: SparkSession, dir: String, n: Int = 20,
                             maxDocs: Long = Long.MaxValue): DataFrame = {
+    // the testdata documents table is ONE small parquet file → one scan
+    // partition; spread the (CPU-heavy) shingle/signature work across cores
+    // the way a many-file production table would be
     val docs = t(spark, dir, "documents").where(col("doc_id") < maxDocs)
+      .repartition(spark.sparkContext.defaultParallelism)
     val dupes = docs.where(col("doc_id") < n)
       .select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))

@@ -67,6 +67,30 @@ object TextExpressions {
     new GenericArrayData(sig)
   }
 
+  /** Whitespace-tokenize + emit word n-gram shingles in one compiled pass
+    * (the transform/slice/concat_ws HOF formulation is interpreted per
+    * element and dominated the dedup queries). Distinct-ness preserved in
+    * input order, matching array_distinct(shingles(tokens(text), n)). */
+  def shinglesEval(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = text.toString.trim match {
+      case "" => Array.empty[String]
+      case t => t.split("\\s+")
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](toks.length - n + 1)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val s = sb.toString
+      if (!distinct || seen.add(s)) out.add(UTF8String.fromString(s))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // --- expressions ------------------------------------------------------------
 
   case class SimHash64(child: Expression) extends UnaryExpression {
@@ -102,10 +126,28 @@ object TextExpressions {
       copy(child = c)
   }
 
+  case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+      extends UnaryExpression {
+    require(n > 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+    override def nullSafeEval(text: Any): Any =
+      TextExpressions.shinglesEval(text.asInstanceOf[UTF8String], n, distinct)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $cls.shinglesEval($c, $n, $distinct);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
   // --- Column API --------------------------------------------------------------
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), numHashes))
+  def word_shingles(text: Column, n: Int, distinct: Boolean = false): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), n, distinct))
 }

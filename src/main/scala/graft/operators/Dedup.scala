@@ -53,9 +53,10 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val toks = TextOps.tokens(col(textCol))
     val withSig = df
-      .select(col(idCol), array_distinct(TextOps.shingles(toks, shingleN)).as("sh"))
+      .select(col(idCol),
+        graft.functions.TextExpressions.word_shingles(col(textCol), shingleN,
+          distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", TextOps.minhashSignature(col("sh"), numHashes))
     // band hash = xxhash64 over the band's signature slice
@@ -67,13 +68,19 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               _.cast("string")))))).as(Seq("band", "bucket")))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    // candidate pairs as IDS ONLY — the (largish) shingle arrays are joined
+    // back once per surviving pair, instead of riding through the bucket
+    // self-join and the dedup shuffle
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val base = withSig.select(col(idCol), col("sh"))
     candidates
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -122,7 +129,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val base = df.select(col(idCol),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+      graft.functions.TextExpressions.word_shingles(col(textCol), shingleN,
+        distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
     val inv = base.select(col(idCol), explode(col("sh")).as("shingle"))
     val pairs = inv.as("x").join(inv.as("y"), col("x.shingle") === col("y.shingle"))

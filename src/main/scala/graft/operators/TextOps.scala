@@ -77,7 +77,7 @@ object TextOps {
    * sensitive to any content or ordering change. Empty docs → xxhash64(text).
    */
   def fingerprint(text: Column, n: Int = 3): Column = {
-    val sh = shingles(tokens(text), n)
+    val sh = graft.functions.TextExpressions.word_shingles(text, n)
     val rotl5 = (acc: Column) =>
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
     when(size(sh) === 0, xxhash64(text))
