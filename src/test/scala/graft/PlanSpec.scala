@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the declarative formulations must actually get the
+  * Catalyst treatment they were designed for (predicate pushdown, column
+  * pruning, broadcast joins, TakeOrderedAndProject) — at 100 TB these are the
+  * difference between a scan of one column and a scan of everything. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection are pushed to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      plan.take(600))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      "scan must read only the two projected columns")
+  }
+
+  test("as-of join broadcasts the version side (keyless model binding)") {
+    import spark.implicits._
+    val left = Seq((1L, new java.sql.Timestamp(1000))).toDF("id", "ts")
+    val right = Seq((1, new java.sql.Timestamp(500))).toDF("model_version", "valid_from")
+    val plan = planOf(graft.temporal.Temporal.asOfJoin(left, right, "ts", "valid_from"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+  }
+
+  test("keyed as-of join plans an equi-join (hash/sort-merge), not a loop join") {
+    val events = spark.read.parquet(s"$sf/events.parquet").select("event_id", "user_id", "ts")
+    val versions = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val plan = planOf(graft.temporal.Temporal.asOfJoin(
+      events, versions, "ts", "o_orderdate", keys = Seq("user_id")))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("global top-k plans TakeOrderedAndProject (partial+final, no full sort)") {
+    val plan = planOf(SparkEntry.queries("q_topk_global")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("anti-join resume plans a broadcast/sort-merge anti join") {
+    val plan = planOf(SparkEntry.queries("q_anti_join")(spark, sf))
+    assert(plan.contains("LeftAnti"), plan.take(800))
+  }
+
+  test("dimension join is broadcast (q_join_agg)") {
+    val plan = planOf(SparkEntry.queries("q_join_agg")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("text operators stay inside whole-stage codegen (no UDF barrier)") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"),
+        graft.operators.TextOps.simhash64(
+          graft.operators.TextOps.tokens(col("text"))).as("sh"))
+    // whole-stage codegen spans print as "*(n)" in the plan string
+    val plan = planOf(df)
+    assert(plan.contains("*("), plan.take(600))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("window queries partition by entity (no global single-partition window)") {
+    Seq("q_backfill", "q_sessionize", "q_window_agg", "q_lag_lead").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      // the Window operator's partition spec must mention user_id
+      val winLine = plan.linesIterator.find(_.contains("Window")).getOrElse("")
+      assert(plan.contains("user_id"), s"$q window plan: ${winLine.take(200)}")
+    }
+  }
+}
