@@ -136,6 +136,34 @@ object ImageQueries {
         .select(col("image_id").as("neighbor_id"), col("adc_dist"), col("list_id"))
     }),
 
+    // SURF-style extraction (P5, ext/SURFExtractor.java:44–59 — our own
+    // Fast-Hessian + 64-d Haar descriptor, SurfLiteExtractor): per-image
+    // keypoint/descriptor stats over larger structured rasters.
+    "q_image_surf" -> ((s, dir) => {
+      val ex = graft.extract.SurfLiteExtractor(detectThreshold = 1.0)
+      val images = graft.data.Synth.imageTable(s, 60L)
+        .where(col("fmt").isin("png", "jpeg"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("image_id",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_keypoints",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean_desc_norm",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rdd = images.select("image_id", "bytes").rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          graft.kernels.Imaging.decode(r.getAs[Array[Byte]](1)).map { raster =>
+            val d = ex.extract(raster)
+            val meanNorm = if (d.isEmpty) 0.0
+              else d.map(graft.kernels.Kernels.l2Norm).sum / d.length
+            org.apache.spark.sql.Row(r.getString(0), d.length,
+              math.rint(meanNorm * 1e6) / 1e6)
+          }
+        }
+      }
+      s.createDataFrame(rdd, schema).orderBy("image_id")
+    }),
+
     // BoW aggregation (P12, agg/BowAggregator.java:39–74, hard assignment):
     // per-image histogram of nearest-centroid counts over the v1 codebook.
     "q_image_bow" -> ((s, dir) => {

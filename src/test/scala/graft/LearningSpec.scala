@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernels.Kernels
+import graft.ml.Learning
+
+/** Distributed learning jobs (A3–A6): Lloyd's k-means determinism +
+  * convergence, PQ sentinel padding, PCA vs a direct Breeze computation. */
+class LearningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // three well-separated Gaussian blobs — k-means must recover the centers
+  private val rnd = new scala.util.Random(7)
+  private val centers = Seq(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))
+  private val points = (0 until 300).map { i =>
+    val c = centers(i % 3)
+    Array(c(0) + rnd.nextGaussian() * 0.3, c(1) + rnd.nextGaussian() * 0.3)
+  }
+
+  test("lloydKMeans recovers separated clusters and is partitioning-invariant") {
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(points.map(p =>
+          org.apache.spark.sql.Row(p.toSeq)), parts),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+      Learning.lloydKMeansSingle(df, 3, iterations = 10)
+    }
+    val got = run(2)
+    // each true center has a learned centroid within 0.2
+    centers.foreach { c =>
+      val d = got.map(g => math.sqrt(Kernels.squaredL2(c, g))).min
+      assert(d < 0.2, s"center ${c.toSeq}: nearest learned at distance $d")
+    }
+    // same result at different parallelism up to FP-summation noise
+    val again = run(7)
+    val sortKey = (a: Array[Double]) => (a(0), a(1))
+    got.sortBy(sortKey).zip(again.sortBy(sortKey)).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+  }
+
+  test("learnPq pads unfillable clusters with the 1000-sentinel " +
+    "(ProductQuantizationLearning.java:285–303)") {
+    val few = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Seq(1.0, 2.0, 3.0, 4.0)),
+        org.apache.spark.sql.Row(Seq(5.0, 6.0, 7.0, 8.0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    val pq = Learning.learnPq(few, m = 2, kS = 4, iterations = 2)
+    assert(pq.numSubVectors == 2 && pq.numProductCentroids == 4)
+    // only 2 distinct sub-vectors per block → 2 sentinel centroids per block
+    pq.subQuantizers.foreach { block =>
+      assert(block.count(_.forall(_ == 1000.0)) == 2)
+    }
+  }
+
+  test("learnPca matches Breeze eigendecomposition; eigenvalues descending") {
+    val df = points.map(_.toSeq).toDF("vec")
+    val (means, eig, vT) = Learning.learnPca(df, 2)
+    // means
+    val expMean0 = points.map(_(0)).sum / points.length
+    assert(math.abs(means(0) - expMean0) < 1e-9)
+    assert(eig(0) >= eig(1))
+    // direct covariance eigen via Breeze on the driver
+    import breeze.linalg.{eigSym, DenseMatrix => BDM}
+    val n = points.length
+    val cov = BDM.tabulate(2, 2) { (i, j) =>
+      points.map(p => (p(i) - means(i)) * (p(j) - means(j))).sum / (n - 1)
+    }
+    val es = eigSym(cov)
+    val expEig = es.eigenvalues.toArray.sorted.reverse
+    eig.zip(expEig).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // components orthonormal
+    assert(math.abs(Kernels.dot(vT(0), vT(0)) - 1.0) < 1e-9)
+    assert(math.abs(Kernels.dot(vT(0), vT(1))) < 1e-9)
+  }
+}
