@@ -30,11 +30,11 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity; 0.0 when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2NormCol(a) * l2NormCol(b)
-    when(denom === 0.0, 0.0).otherwise(dotProduct(a, b) / denom)
-  }
+  /** Cosine similarity; 0.0 when either side has zero norm. Native Catalyst
+    * expression — the HOF formulation evaluated an interpreted lambda per
+    * element and dominated the candidate-verification stages. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vec_cosine(a, b)
 
   /**
    * Brute-force cosine top-k: each query (small set, broadcast) against the
@@ -116,11 +116,7 @@ object Similarity {
   def hyperplaneHash(vecCol: Column, dim: Int, bits: Int, seed: Long): Column = {
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(bits, dim)(rnd.nextGaussian())
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val pLit = array(p.map(lit): _*)
-      shiftleft(when(dotProduct(vecCol, pLit) > 0.0, lit(1L)).otherwise(lit(0L)), i)
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.VectorExpressions.hyperplane_hash(vecCol, planes)
   }
 
   /** Embedding near-duplicate pairs: bucket by hyperplane-hash chunks (recall
