@@ -165,6 +165,19 @@ object Kernels {
     out
   }
 
+  /** Soft BoW with FIXED semantics: each descriptor increments each of its k
+    * nearest centroids once. (The reference's soft path increments k·d times
+    * per descriptor — agg/BowAggregator.java:46–51 loops the increment inside
+    * the per-dimension loop; documented divergence, SURVEY.md §5.) */
+  def bowSoft(descriptors: Array[Array[Double]], codebook: Array[Array[Double]],
+              k: Int): Array[Double] = {
+    val out = new Array[Double](codebook.length)
+    descriptors.foreach { d =>
+      kNearestCentroids(d, codebook, k).foreach(out(_) += 1.0)
+    }
+    out
+  }
+
   // ---------------------------------------------------------------------- PCA
 
   /** PCA model with whitening already folded into the projection matrix rows

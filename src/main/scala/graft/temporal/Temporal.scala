@@ -65,6 +65,48 @@ object Temporal {
   }
 
   /**
+   * Typed sort-merge as-of join — the explicit "range-partitioned sorted-merge"
+   * formulation (north rule): both sides are hash-partitioned by key via
+   * `cogroupSorted` (one shuffle each), each group's iterators arrive sorted by
+   * event time, and a single merge pass carries the latest version whose
+   * `valid_from <= ts` forward. Semantically identical to [[asOfJoin]] with
+   * `joinType="left"` restricted to (key, ts) columns + the bound version —
+   * asserted in TemporalSpec. Use when the version side is too large to
+   * window-join (per-entity version histories at image-table scale); the
+   * interval formulation remains the Catalyst-friendly default.
+   *
+   * left: (key, ts, leftId); right: (key, valid_from, version).
+   * Returns (key, leftId, ts, version: null when no version is valid yet).
+   */
+  def asOfJoinSortMerge(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, leftId: String,
+      rightTs: String, versionCol: String): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(col(key).cast("string"), col(leftId).cast("long"),
+      col(leftTs).cast("timestamp").cast("long"))
+      .toDF("_1", "_2", "_3").as[(String, Long, Long)]
+    val r = right.select(col(key).cast("string"), col(versionCol).cast("int"),
+      col(rightTs).cast("timestamp").cast("long"))
+      .toDF("_1", "_2", "_3").as[(String, Int, Long)]
+    val merged = l.groupByKey(_._1).cogroupSorted(r.groupByKey(_._1))(
+      $"_3")($"_3", $"_2") { (k, lefts, rights) =>
+      // both iterators sorted by ts; merge with carry of the latest version
+      val rIt = rights.buffered
+      var carry: java.lang.Integer = null
+      lefts.map { case (_, id, ts) =>
+        while (rIt.hasNext && rIt.head._3 <= ts) {
+          carry = rIt.next()._2
+        }
+        (k, id, ts, Option(carry).map(_.toInt))
+      }
+    }
+    merged.toDF(key, leftId, leftTs, versionCol)
+      .withColumn(leftTs, col(leftTs).cast("timestamp"))
+  }
+
+  /**
    * Forward-fill: propagate the last non-null observation forward in time
    * within each entity. `last(_, ignoreNulls = true)` over
    * unbounded-preceding..current — values flow strictly forward (no leakage).

@@ -63,6 +63,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1, 2L -> 2, 3L -> 3))
   }
 
+  test("asOfJoinSortMerge (cogroupSorted merge) ≡ interval-join asOfJoin") {
+    val left = events.map { case (id, e, t, _) => (e, t, id) }
+      .toDF("entity", "ts", "event_id")
+    val right = versions.map { case (v, e, t) => (e, t, v) }
+      .toDF("entity", "valid_from", "version")
+    val viaIntervals = Temporal.asOfJoin(left, right, "ts", "valid_from",
+      keys = Seq("entity"), joinType = "left")
+      .select("event_id", "version").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val viaSortMerge = Temporal.asOfJoinSortMerge(left, right,
+      key = "entity", leftTs = "ts", leftId = "event_id",
+      rightTs = "valid_from", versionCol = "version")
+      .select("event_id", "version").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(viaSortMerge == viaIntervals)
+    assert(viaSortMerge.size == events.size)
+  }
+
   test("backfill: last non-null flows forward only; leading nulls stay null") {
     val df = events.toDF("event_id", "entity", "ts", "opt_value")
     val got = Temporal.backfill(df, Seq("entity"), Seq("ts", "event_id"), Seq("opt_value"))
