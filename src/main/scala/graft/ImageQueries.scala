@@ -33,7 +33,9 @@ object ImageQueries {
     cache.getOrElseUpdate((s, dir), {
       val n = nFor(dir)
       val images = Synth.imageTable(s, n).cache()
-      val (modelDf, bundles) = Synth.mintModels(s, images, n)
+      // fewer Lloyd iterations than the test suite's default: model quality is
+      // irrelevant to these rows-only checks, verify wall-clock is not
+      val (modelDf, bundles) = Synth.mintModels(s, images, n, iterations = 4)
       // F1 extension filter, then point-in-time model binding (J4 north rule)
       val bound = Temporal.asOfJoin(
         images.where(col("fmt").isin("png", "jpeg")),
