@@ -263,6 +263,103 @@ final case class SurfLiteExtractor(
   }
 }
 
+/**
+ * SIFT-style extractor (P6, ext/SIFTExtractor.java:47–62 semantics — BoofCV's
+ * ConfigSiftDetector(2, detectThreshold, maxFeaturesPerScale, 5) is the
+ * reference parameterization): difference-of-blur (DoG-like) extrema detection
+ * over a small scale stack + the classic 128-d descriptor — 4×4 spatial bins ×
+ * 8 gradient-orientation bins over a 16s×16s window, L2-normalized with the
+ * standard 0.2 clamp + renormalize. Upright, deterministic, pure Scala.
+ */
+final case class SiftLiteExtractor(
+    detectThreshold: Double = 3.0,
+    maxFeaturesPerScale: Int = 128,
+    numberOfScales: Int = 3)
+    extends LocalFeatureExtractor {
+  override val descriptorLength: Int = 128
+
+  override def extract(r: Raster): Array[Array[Double]] = {
+    val g0 = Imaging.grey(r)
+    // blur stack: repeated 3×3 box blur approximates increasing Gaussian σ
+    val stack = Iterator.iterate(r)(Imaging.boxBlur3)
+      .take(numberOfScales + 2).map(Imaging.grey).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var s = 0
+    while (s < numberOfScales) {
+      val dog = new Array[Double](g0.length)
+      var i = 0
+      while (i < g0.length) { dog(i) = stack(s)(i) - stack(s + 1)(i); i += 1 }
+      val scaleHits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      val border = 8 * (s + 1)
+      var y = math.max(1, border)
+      while (y < r.h - math.max(1, border)) {
+        var x = math.max(1, border)
+        while (x < r.w - math.max(1, border)) {
+          val v = dog(y * r.w + x)
+          if (math.abs(v) > detectThreshold) {
+            var isExt = true
+            var dy = -1
+            while (dy <= 1 && isExt) {
+              var dx = -1
+              while (dx <= 1 && isExt) {
+                if (dx != 0 || dy != 0) {
+                  val u = dog((y + dy) * r.w + (x + dx))
+                  if ((v > 0 && u >= v) || (v < 0 && u <= v)) isExt = false
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (isExt) scaleHits += ((x, y, math.abs(v)))
+          }
+          x += 1
+        }
+        y += 1
+      }
+      scaleHits.sortBy(t => (-t._3, t._2, t._1)).take(maxFeaturesPerScale)
+        .foreach { case (x, y, _) =>
+          describe(stack(s), r.w, r.h, x, y, s + 1).foreach(out += _)
+        }
+      s += 1
+    }
+    out.toArray
+  }
+
+  /** 128-d: 4×4 spatial cells × 8 orientation bins of gradient votes over a
+    * 16·scale window; L2 → clamp 0.2 → L2 (Lowe's normalization). */
+  private def describe(g: Array[Double], w: Int, h: Int,
+                       px: Int, py: Int, scale: Int): Option[Array[Double]] = {
+    val half = 8 * scale
+    if (px - half < 1 || py - half < 1 || px + half >= w - 1 || py + half >= h - 1)
+      return None
+    val d = new Array[Double](128)
+    var y = py - half
+    while (y < py + half) {
+      var x = px - half
+      while (x < px + half) {
+        val dx = g(y * w + x + 1) - g(y * w + x - 1)
+        val dy = g((y + 1) * w + x) - g((y - 1) * w + x)
+        val mag = math.sqrt(dx * dx + dy * dy)
+        if (mag > 1e-12) {
+          val ori = math.atan2(dy, dx) // [-π, π]
+          var ob = ((ori + math.Pi) / (2 * math.Pi) * 8).toInt
+          if (ob >= 8) ob = 7
+          val cx = (x - (px - half)) * 4 / (2 * half)
+          val cy = (y - (py - half)) * 4 / (2 * half)
+          d((cy * 4 + cx) * 8 + ob) += mag
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n1 = graft.kernels.Kernels.l2Norm(d)
+    if (n1 <= 1e-12) return None
+    var i = 0
+    while (i < 128) { d(i) = math.min(d(i) / n1, 0.2); i += 1 }
+    Some(graft.kernels.Kernels.normalizeL2(d))
+  }
+}
+
 /** RootSIFT-style post-transform: per-descriptor power(0.5) then L2
   * (ext/RootSIFTExtractor.java:31–38), applicable to any extractor. */
 final case class RootTransformed(inner: LocalFeatureExtractor) extends LocalFeatureExtractor {

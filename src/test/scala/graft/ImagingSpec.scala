@@ -124,6 +124,30 @@ class ImagingSpec extends AnyFunSuite {
     assert(d.length <= math.max(greyPoints, 1) || greyPoints == 0 || d.nonEmpty)
   }
 
+  test("SiftLiteExtractor: 128-d unit-norm, 0.2-clamped, deterministic; " +
+    "RootSIFT composes (SIFTExtractor.java:47–62, RootSIFTExtractor.java:31–38)") {
+    import graft.extract.{RootTransformed, SiftLiteExtractor}
+    import graft.kernels.Kernels
+    val big = Imaging.syntheticRaster(42L, 3L, 200, 150)
+    val ex = SiftLiteExtractor(detectThreshold = 1.0)
+    val d = ex.extract(big)
+    assert(d.nonEmpty && d.forall(_.length == 128))
+    d.foreach { v =>
+      assert(math.abs(Kernels.l2Norm(v) - 1.0) < 1e-9)
+      // post-clamp renormalization can push entries slightly above 0.2
+      assert(v.forall(x => x >= 0.0 && x <= 0.5))
+    }
+    val d2 = ex.extract(big)
+    assert(d.length == d2.length && d.zip(d2).forall { case (a, b) => a.sameElements(b) })
+    assert(ex.extract(Imaging.uniformRaster(64, 64, 0x808080)).isEmpty)
+    // RootSIFT = SIFT then SSR
+    val rooted = RootTransformed(ex).extract(big)
+    rooted.zip(d).foreach { case (r2, p) =>
+      val expect = Kernels.normalizeSSR(p)
+      assert(r2.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    }
+  }
+
   test("SurfLiteExtractor: deterministic 64-d unit-norm descriptors on structured image") {
     val ex = SurfLiteExtractor(detectThreshold = 1.0)
     val big = Imaging.syntheticRaster(42L, 3L, 200, 150)
