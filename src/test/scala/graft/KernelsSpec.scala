@@ -107,6 +107,14 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.bow(desc, codebook).sameElements(Array(2.0, 1.0)))
   }
 
+  test("soft BoW: each descriptor votes once per k-NN centroid (fixed semantics; " +
+    "reference over-increment bug at BowAggregator.java:46–51 not reproduced)") {
+    val desc = Array(Array(1.0, 1.0), Array(9.0, 9.0))
+    val got = Kernels.bowSoft(desc, codebook, 2)
+    assert(got.sameElements(Array(2.0, 2.0))) // both descriptors vote for both
+    assert(got.sum == desc.length * 2.0)
+  }
+
   // --- PCA (dim/PCA.java) ------------------------------------------------------
 
   test("PCA projection subtracts means then V_t·x (PCA.java:188–208)") {
