@@ -13,6 +13,11 @@ Test / fork := true
 // suites share one SparkSession → run them sequentially
 Test / parallelExecution := false
 run / fork := true
+// forked run/runMain output goes RAW to stdout — sbt's logger otherwise
+// prefixes every line with [info], which broke machine-parsing of Bench's
+// JSON line (BENCH_r01.json: rc=0 but parsed:null)
+// (runMain's runner is built from the Compile/run scope, so this covers both)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,7 +33,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the decode pipeline allocates several MB/image across 32
+  // threads — a small heap turns the scaling bench into a GC benchmark
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // decode-heavy pipeline allocates several MB/image; throughput GC wins
   "-XX:+UseParallelGC",
 )

@@ -82,6 +82,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     // ---- part 1: headline queries --------------------------------------
     if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
@@ -94,12 +95,14 @@ object Bench {
       headline.foreach { name =>
         logPhase(s"query $name")
         val t0 = System.nanoTime()
+        // a crashed query is reported, not silently timed as a fast no-op
         try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable =>
-          try qs(name)(spark, sfDir).count()
-          catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r\\\\]", " ").take(160)
         }
-        results(name) = (System.nanoTime() - t0) / 1e9
+        results(name) =
+          if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9
       }
       spark.stop()
     }
@@ -223,7 +226,16 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
-    println(
-      f"""{"metric":"feature-vectors/sec (extract->asof->snapshot write)","value":$vectorsPerSec%.2f,"unit":"vec/sec","queries":$qs%s,"sf":"$sfDir%s"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"feature-vectors/sec (extract->asof->snapshot write)","value":$vectorsPerSec%.2f,"unit":"vec/sec","queries":$qs%s,"errors":$errs%s,"sf":"$sfDir%s"}"""
+    // belt-and-braces: stdout (forked with StdoutOutput so no sbt [info]
+    // prefix can swallow it — BENCH_r01 was rc=0/parsed:null) AND a file
+    println(line)
+    try Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
   }
 }

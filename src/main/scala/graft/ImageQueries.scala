@@ -1,12 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.data.Synth
 import graft.functions.ImageExpressions._
+import graft.functions.PqExpressions
 import graft.model.ModelBundle
+import graft.operators.Similarity
 import graft.pipeline.FeaturePipeline
 import graft.temporal.Temporal
 
@@ -90,25 +91,28 @@ object ImageQueries {
     }),
 
     // Exhaustive k-NN over the PCA feature vectors (T1 Linear shape:
-    // broadcast queries → narrow scan → per-partition partial top-k).
+    // broadcast queries → narrow scan → map-side bounded heap per query,
+    // ds/Linear.java:138–163 — no window shuffle of the scored cross product).
     "q_image_knn" -> ((s, dir) => {
       val feats = pipeline(s, dir).features.where(col("error").isNull)
         .select(col("image_id"), col("vector"))
       val queries = broadcast(feats
         .where(col("image_id").isin("img_00000002", "img_00000004", "img_00000007"))
         .select(col("image_id").as("query_id"), col("vector").as("qv")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("dist").asc, col("image_id").asc)
-      queries.join(feats, col("query_id") =!= col("image_id"))
-        .withColumn("dist", round(sqL2(col("qv"), col("vector")), 9))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select(col("query_id"), col("image_id").as("neighbor_id"), col("dist"), col("rank"))
+      val scored = queries.join(feats, col("query_id") =!= col("image_id"))
+        .select(col("query_id"), col("image_id").as("neighbor_id"),
+          round(sqL2(col("qv"), col("vector")), 9).as("dist"))
+      Similarity.topKPerGroup(scored, Seq("query_id"), "dist", "neighbor_id",
+        k = 5, ascending = true)
+        .select("query_id", "neighbor_id", "dist", "rank")
         .orderBy("query_id", "rank")
     }),
 
-    // PQ ADC k-NN (T2): driver-computed LUT as a literal, distance =
-    // Σ_j LUT[j][code_j] over the stored codes — scan never touches vectors.
+    // PQ ADC k-NN (T2): driver-computed per-list LUTs of the residual-
+    // transformed query (ds/IVFPQ.java:408–450) ride in ONE broadcast inside a
+    // native adc_distance expression — the scan reads only (pq_code, list_id),
+    // never vectors, and the plan holds no LUT literals (reference-scale LUTs
+    // are demonstrated to plan in PlanSpec).
     "q_image_adc_knn" -> ((s, dir) => {
       val c = pipeline(s, dir)
       val feats = c.features.where(col("error").isNull)
@@ -116,21 +120,13 @@ object ImageQueries {
         .select("vector", "model_version").head()
       val qv = queryRow.getSeq[Double](0).toArray
       val bundle = c.bundles(queryRow.getInt(1))
-      // reference ADC-on-IVF: per-list LUT of the residual-transformed query
-      // (ds/IVFPQ.java:408–450). Here: one LUT per coarse list, selected by
-      // the row's list_id.
-      val luts: Array[Array[Array[Double]]] =
+      val luts: Map[Int, Array[Array[Double]]] =
         bundle.coarseQuantizer.indices.map { li =>
           val res = graft.kernels.Kernels.residual(qv, bundle.coarseQuantizer(li))
-          graft.kernels.Kernels.adcLookupTable(bundle.transform(res), bundle.pq)
-        }.toArray
-      val lutLit = array(luts.map(lut =>
-        array(lut.map(rowArr => array(rowArr.map(lit): _*)): _*)): _*)
-      val m = bundle.pq.numSubVectors
-      val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, j) => acc + element_at(
-          element_at(element_at(lutLit, col("list_id") + 1), j + 1),
-          element_at(col("pq_code"), j + 1) + 1))
+          li -> graft.kernels.Kernels.adcLookupTable(bundle.transform(res), bundle.pq)
+        }.toMap
+      val adc = PqExpressions.adc_distance(col("pq_code"), col("list_id"),
+        s.sparkContext.broadcast(luts))
       feats.where(col("image_id") =!= "img_00000002")
         .withColumn("adc_dist", round(adc, 9))
         .orderBy(col("adc_dist").asc, col("image_id").asc)
@@ -138,64 +134,104 @@ object ImageQueries {
         .select(col("image_id").as("neighbor_id"), col("adc_dist"), col("list_id"))
     }),
 
+    // PQ SDC k-NN (T3, ds/PQ.java:334–374): the query is an already-indexed
+    // id; distance = Σ_j sdcTable[j][codeQ_j][codeC_j] over stored codes only
+    // (no vectors touched on either side). Expressed as adc_distance with the
+    // LUT rows pre-selected by the query's code. The reference runs SDC on a
+    // plain PQ index; over an IVFPQ snapshot the codes are residual-space, so
+    // cross-list distances are the same approximation the reference makes
+    // when PQ (not IVFPQ) indexes raw vectors. Gated by KernelsSpec
+    // sdcDistance parity + PipelineSpec scalar cross-check.
+    "q_image_sdc_knn" -> ((s, dir) => {
+      val c = pipeline(s, dir)
+      val feats = c.features.where(col("error").isNull)
+      val queryRow = feats.where(col("image_id") === "img_00000002")
+        .select("pq_code", "model_version").head()
+      val qCode = queryRow.getSeq[Int](0).toArray
+      val bundle = c.bundles(queryRow.getInt(1))
+      val sdc = graft.kernels.Kernels.sdcTable(bundle.pq)
+      // LUT[j][c] = sdcTable[j][qCode_j][c] — SDC as a one-row ADC table
+      val lut = Array.tabulate(bundle.pq.numSubVectors)(j => sdc(j)(qCode(j)))
+      val dist = PqExpressions.adc_distance(col("pq_code"), lit(0),
+        s.sparkContext.broadcast(Map(0 -> lut)))
+      feats.where(col("image_id") =!= "img_00000002")
+        .withColumn("sdc_dist", round(dist, 9))
+        .orderBy(col("sdc_dist").asc, col("image_id").asc)
+        .limit(5)
+        .select(col("image_id").as("neighbor_id"), col("sdc_dist"), col("list_id"))
+    }),
+
+    // Pair-distance point query (T6, ds/IVFPQ.java:464–497
+    // computeDistanceIVFADC): query VECTOR vs a set of indexed ids — the query
+    // is residual-quantized to EACH target's coarse list, so the distance is
+    // adc_distance with the per-list LUT map selected by the target's list_id.
+    "q_image_pair_dist" -> ((s, dir) => {
+      val c = pipeline(s, dir)
+      val feats = c.features.where(col("error").isNull)
+      val queryRow = feats.where(col("image_id") === "img_00000002")
+        .select("vector", "model_version").head()
+      val qv = queryRow.getSeq[Double](0).toArray
+      val bundle = c.bundles(queryRow.getInt(1))
+      val luts: Map[Int, Array[Array[Double]]] =
+        bundle.coarseQuantizer.indices.map { li =>
+          val res = graft.kernels.Kernels.residual(qv, bundle.coarseQuantizer(li))
+          li -> graft.kernels.Kernels.adcLookupTable(bundle.transform(res), bundle.pq)
+        }.toMap
+      val dist = PqExpressions.adc_distance(col("pq_code"), col("list_id"),
+        s.sparkContext.broadcast(luts))
+      feats.where(col("image_id").isin(
+          "img_00000004", "img_00000007", "img_00000010", "img_00000012"))
+        .withColumn("pair_dist", round(dist, 9))
+        .select(col("image_id"), col("pair_dist"), col("list_id"))
+        .orderBy("image_id")
+    }),
+
     // SURF-style extraction (P5, ext/SURFExtractor.java:44–59 — our own
     // Fast-Hessian + 64-d Haar descriptor, SurfLiteExtractor): per-image
     // keypoint/descriptor stats over larger structured rasters.
     "q_image_surf" -> ((s, dir) => {
+      import s.implicits._
       val ex = graft.extract.SurfLiteExtractor(detectThreshold = 1.0)
       val images = graft.data.Synth.imageTable(s, 60L)
         .where(col("fmt").isin("png", "jpeg"))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("image_id",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("n_keypoints",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("mean_desc_norm",
-          org.apache.spark.sql.types.DoubleType, nullable = false)))
-      val rdd = images.select("image_id", "bytes").rdd.mapPartitions { it =>
-        it.flatMap { r =>
-          graft.kernels.Imaging.decode(r.getAs[Array[Byte]](1)).map { raster =>
-            val d = ex.extract(raster)
-            val meanNorm = if (d.isEmpty) 0.0
-              else d.map(graft.kernels.Kernels.l2Norm).sum / d.length
-            org.apache.spark.sql.Row(r.getString(0), d.length,
-              math.rint(meanNorm * 1e6) / 1e6)
+      images.select("image_id", "bytes").as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.kernels.Imaging.decode(bytes).map { raster =>
+              val d = ex.extract(raster)
+              val meanNorm = if (d.isEmpty) 0.0
+                else d.map(graft.kernels.Kernels.l2Norm).sum / d.length
+              (id, d.length, math.rint(meanNorm * 1e6) / 1e6)
+            }
           }
         }
-      }
-      s.createDataFrame(rdd, schema).orderBy("image_id")
+        .toDF("image_id", "n_keypoints", "mean_desc_norm")
+        .orderBy("image_id")
     }),
 
     // BoW aggregation (P12, agg/BowAggregator.java:39–74, hard assignment):
     // per-image histogram of nearest-centroid counts over the v1 codebook.
     "q_image_bow" -> ((s, dir) => {
+      import s.implicits._
       val c = pipeline(s, dir)
-      val codebook = c.bundles(1).codebooks(0)
-      val bc = s.sparkContext.broadcast(codebook)
+      val bc = s.sparkContext.broadcast(c.bundles(1).codebooks(0))
       val cfg = graft.data.Synth.defaultConfig
       val images = graft.data.Synth.imageTable(s, math.min(nFor(dir), 200L))
         .where(col("fmt").isin("png", "jpeg"))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("image_id",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("n_desc",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("top_bin",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("top_count",
-          org.apache.spark.sql.types.DoubleType, nullable = false)))
-      val rdd = images.select("image_id", "bytes").rdd.mapPartitions { it =>
-        it.flatMap { r =>
-          graft.kernels.Imaging.decode(r.getAs[Array[Byte]](1)).map { raster =>
-            val descs = cfg.extractor.extract(
-              graft.kernels.Imaging.maxPixelsScaling(raster, cfg.maxPixels))
-            val hist = graft.kernels.Kernels.bow(descs, bc.value)
-            val top = hist.indices.maxBy(i => (hist(i), -i))
-            org.apache.spark.sql.Row(r.getString(0), descs.length, top, hist(top))
+      images.select("image_id", "bytes").as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.kernels.Imaging.decode(bytes).map { raster =>
+              val descs = cfg.extractor.extract(
+                graft.kernels.Imaging.maxPixelsScaling(raster, cfg.maxPixels))
+              val hist = graft.kernels.Kernels.bow(descs, bc.value)
+              val top = hist.indices.maxBy(i => (hist(i), -i))
+              (id, descs.length, top, hist(top))
+            }
           }
         }
-      }
-      s.createDataFrame(rdd, schema).orderBy("image_id")
+        .toDF("image_id", "n_desc", "top_bin", "top_count")
+        .orderBy("image_id")
     }),
 
     // IVFPQ k-NN (T4, ds/IVFPQ.java:408–450): probe only the w nearest coarse
@@ -211,22 +247,14 @@ object ImageQueries {
       val bundle = c.bundles(queryRow.getInt(1))
       val w = 2 // probe width (reference default: 10% of k_c, IVFPQ.java:188)
       val probed = graft.kernels.Kernels.kNearestCentroids(qv, bundle.coarseQuantizer, w)
-      val luts = probed.map { li =>
+      // LUTs only for the probed lists (what a reference-scale engine ships),
+      // one broadcast, selected by list_id inside the native expression
+      val luts: Map[Int, Array[Array[Double]]] = probed.map { li =>
         val res = graft.kernels.Kernels.residual(qv, bundle.coarseQuantizer(li))
         li -> graft.kernels.Kernels.adcLookupTable(bundle.transform(res), bundle.pq)
-      }
-      // per-probed-list LUT selected by a chained when() on list_id
-      val m = bundle.pq.numSubVectors
-      val lutFor = luts.map { case (li, lut) =>
-        li -> array(lut.map(rowArr => array(rowArr.map(lit): _*)): _*)
-      }
-      val lutCol = lutFor.tail.foldLeft(
-        when(col("list_id") === lutFor.head._1, lutFor.head._2)) {
-        case (acc, (li, c2)) => acc.when(col("list_id") === li, c2)
-      }
-      val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, j) => acc + element_at(element_at(lutCol, j + 1),
-          element_at(col("pq_code"), j + 1) + 1))
+      }.toMap
+      val adc = PqExpressions.adc_distance(col("pq_code"), col("list_id"),
+        s.sparkContext.broadcast(luts))
       feats
         .where(col("list_id").isin(probed.map(Integer.valueOf): _*) &&
           col("image_id") =!= "img_00000002")

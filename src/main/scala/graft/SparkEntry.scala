@@ -293,6 +293,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Exact-vs-approx recall diagnostic (J5, exm/Example.java:155–182): the
+    // per-query overlap of Linear vs IVF top-k — makes ANN quality a
+    // driver-visible number (rows-only; threshold asserted in SimilaritySpec).
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val corpus = emb.withColumn("list_id",
+        Similarity.withListId(emb, "embedding", centroids))
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        centroids, k = 10, nprobe = 3)
+      Similarity.recallAtK(exact, approx, k = 10).orderBy("query_id")
+    }),
+
     // Embedding near-dup pairs via hyperplane LSH + exact-cosine verify.
     // Injected exact duplicates hash identically ⇒ recall 1.0 for them, so
     // the SQL brute-force pairs (cosine ≥ 0.999) are a true oracle.

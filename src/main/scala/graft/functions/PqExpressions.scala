@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for PQ code-table scans (T2/T3/T4/T6,
+ * ds/PQ.java:303–317 ADC, :334–374 SDC; ds/IVFPQ.java:464–497 pair distance).
+ *
+ * The round-1 formulation embedded the LUT as nested array literals and
+ * summed with an interpreted `aggregate(sequence(...))` HOF — at the
+ * reference config (k_c=8192, m=64, k_s=256, exm/YFCC100MExample.java:86–90)
+ * that plan is ~134M literal nodes and never compiles. Here the LUTs live in
+ * a Spark broadcast (shipped once per executor, not per task, and never in
+ * the plan tree), keyed by the row's `list_id`; the distance is a compiled
+ * m-step loop. At query time a reference-scale engine LUTs only the probed
+ * lists (w ≈ k_c/10), which is exactly the map this expression carries.
+ */
+object PqExpressions {
+
+  /**
+   * Σ_j LUT[list_id][j][code_j] — ADC distance of the broadcast query LUTs
+   * against a stored PQ code. `luts` maps list_id → (m × k_s) table; for
+   * non-IVF (single global LUT) or SDC (LUT rows = sdcTable[j][queryCode_j])
+   * pass a single-entry map and a literal list id.
+   */
+  case class AdcDistance(
+      left: Expression, // pq_code: array<int>
+      right: Expression, // list_id: int
+      luts: Broadcast[Map[Int, Array[Array[Double]]]])
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "adc_distance"
+
+    @transient private lazy val lutMap: Map[Int, Array[Array[Double]]] = luts.value
+
+    override def nullSafeEval(codeAny: Any, listAny: Any): Any = {
+      val code = codeAny.asInstanceOf[ArrayData]
+      val lut = lutMap.getOrElse(listAny.asInstanceOf[Int],
+        throw new IllegalArgumentException(
+          s"adc_distance: no LUT for list_id=$listAny (un-probed list reached the scan)"))
+      require(code.numElements() == lut.length,
+        s"adc_distance: code has ${code.numElements()} sub-codes, LUT has ${lut.length}")
+      var d = 0.0; var j = 0
+      val m = lut.length
+      while (j < m) { d += lut(j)(code.getInt(j)); j += 1 }
+      d
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =
+      copy(left = l, right = r)
+  }
+
+  def adc_distance(code: Column, listId: Column,
+                   luts: Broadcast[Map[Int, Array[Array[Double]]]]): Column =
+    GraftBridge.column(AdcDistance(
+      GraftBridge.expression(code), GraftBridge.expression(listId), luts))
+}

@@ -23,7 +23,12 @@ object VectorExpressions {
       case t => throw new IllegalArgumentException(s"unsupported element type $t")
     }
 
+  private def requireSameLength(a: Array[Double], b: Array[Double], op: String): Unit =
+    if (a.length != b.length) throw new IllegalArgumentException(
+      s"$op: mismatched vector lengths ${a.length} vs ${b.length}")
+
   def cosineEval(a: Array[Double], b: Array[Double]): Double = {
+    requireSameLength(a, b, "vec_cosine")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
@@ -32,6 +37,7 @@ object VectorExpressions {
   }
 
   def dotEval(a: Array[Double], b: Array[Double]): Double = {
+    requireSameLength(a, b, "vec_dot")
     var dot = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); i += 1 }
     dot
@@ -70,6 +76,7 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = toDoubles(a.asInstanceOf[ArrayData], elemType(left))
       val y = toDoubles(b.asInstanceOf[ArrayData], elemType(right))
+      requireSameLength(x, y, "vec_squared_l2")
       var d = 0.0; var i = 0
       while (i < x.length) { val t = x(i) - y(i); d += t * t; i += 1 }
       d
@@ -89,10 +96,29 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Truncate to `len` and L2-renormalize iff shortened, zero-vector → ones —
+    * the index-transformation kernel as a Catalyst expression
+    * (exm/IndexTransformation.java:117–120; Kernels.truncateRenorm parity is
+    * pinned in FunctionsSqlSpec). */
+  case class TruncateRenorm(child: Expression, len: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "truncate_renorm"
+    override def nullSafeEval(v: Any): Any = {
+      val x = toDoubles(v.asInstanceOf[ArrayData], elemType(child))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.kernels.Kernels.truncateRenorm(x, len))
+    }
+    override protected def withNewChildInternal(c: Expression): TruncateRenorm =
+      copy(child = c)
+  }
+
   def vec_cosine(a: Column, b: Column): Column =
     GraftBridge.column(VecCosine(GraftBridge.expression(a), GraftBridge.expression(b)))
   def vec_squared_l2(a: Column, b: Column): Column =
     GraftBridge.column(VecSquaredL2(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplane_hash(v: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(HyperplaneHash(GraftBridge.expression(v), planes))
+  def truncate_renorm(v: Column, len: Int): Column =
+    GraftBridge.column(TruncateRenorm(GraftBridge.expression(v), len))
 }

@@ -1,11 +1,11 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.BoundedTopK
 import graft.kernels.Kernels
-import graft.kernels.Kernels.{PcaModel, PqModel}
+import graft.kernels.Kernels.PqModel
 
 /**
  * Offline model-learning jobs (SURVEY.md §2.6 A3–A6), Spark-distributed:
@@ -24,9 +24,11 @@ import graft.kernels.Kernels.{PcaModel, PqModel}
  *
  *  - [[learnPca]] — mean vector + Gram-matrix accumulation (one treeAggregate
  *    pass, d×d driver matrix) + Breeze eigendecomposition; eigenvalues sorted
- *    descending like dim/PCA.java:120–177. For the flagship 32768-dim config
- *    this switches to MLlib's distributed ARPACK path (documented; test dims
- *    are small).
+ *    descending like dim/PCA.java:120–177. Above [[largeDimThreshold]] it
+ *    dispatches to [[learnPcaDistributed]] — covariance-free subspace
+ *    iteration whose per-task state is O(d·r), so the flagship 32768-dim
+ *    multiVLAD config (dim/PCA.java:120–177, exm/YFCC100MExample.java:72–78)
+ *    never materializes the 8.6 GB d×d Gram anywhere.
  */
 object Learning {
 
@@ -39,15 +41,18 @@ object Learning {
     val spark = data.sparkSession
     val df = data.select(col("block").cast("int").as("block"), col("vec"))
     // deterministic init: k lowest-xxhash64 distinct vectors per block
-    // (independent of partitioning / parallelism level)
+    // (independent of partitioning / parallelism level). Bounded-heap top-k
+    // per block — the round-1 row_number window sorted ALL distinct vectors
+    // of a block in one task; the aggregate keeps k per partition map-side.
     val init = df
       .withColumn("vkey", concat_ws(",", transform(col("vec"), _.cast("string"))))
       .dropDuplicates("block", "vkey")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("block")).orderBy(xxhash64(col("vkey")), col("vkey"))))
-      .where(col("rk") <= k)
+      .groupBy(col("block"))
+      .agg(BoundedTopK.topK(xxhash64(col("vkey")), col("vkey"), col("vec"),
+        k, ascending = true).as("tk"))
+      .select(col("block"), posexplode(col("tk")))
     var centroids: Map[Int, Array[Array[Double]]] = init
-      .select("block", "rk", "vec").collect()
+      .select(col("block"), col("pos"), col("col.payload").as("vec")).collect()
       .groupBy(_.getInt(0))
       .map { case (b, rows) =>
         b -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
@@ -118,18 +123,27 @@ object Learning {
   def lloydKMeansSingle(vectors: DataFrame, k: Int, iterations: Int = 8): Array[Array[Double]] =
     lloydKMeans(vectors.withColumn("block", lit(0)), k, iterations)(0)
 
+  /** Above this input dimensionality [[learnPca]] routes to the
+    * covariance-free distributed path (d×d doubles at 2048 = 32 MB — the
+    * exact-Gram path stays cheap below it, and the flagship 32768-dim config
+    * lands far above it). */
+  val largeDimThreshold: Int = 2048
+
   /**
    * PCA learning: one distributed pass accumulating (n, Σx, Σxxᵀ) via
    * treeAggregate, then Breeze eigSym of the covariance on the driver;
    * components sorted by eigenvalue descending (dim/PCA.java:172).
    * Returns (means, eigenvalues, V_t rows) — whitening is folded in by the
    * caller via Kernels.PcaModel (load-path parity, dim/PCA.java:282–313).
+   * Dimensions above [[largeDimThreshold]] dispatch to
+   * [[learnPcaDistributed]] (no O(d²) state anywhere).
    */
   def learnPca(vectors: DataFrame, numComponents: Int)
       : (Array[Double], Array[Double], Array[Array[Double]]) = {
-    import breeze.linalg.{eigSym, DenseMatrix => BDM, DenseVector => BDV}
+    import breeze.linalg.{eigSym, DenseMatrix => BDM}
     val rdd = vectors.select("vec").rdd.map(_.getSeq[Double](0).toArray)
     val d = rdd.first().length
+    if (d > largeDimThreshold) return learnPcaDistributed(vectors, numComponents)
     val (n, sumX, gram) = rdd.treeAggregate(
       (0L, new Array[Double](d), new Array[Double](d * d)))(
       seqOp = { case ((cnt, s, g), v) =>
@@ -166,6 +180,138 @@ object Learning {
       if (arr(maxI) < 0) arr.map(-_) else arr
     }
     (means, eigenvalues, vT)
+  }
+
+  /**
+   * Covariance-free distributed PCA for reference-scale dimensionality
+   * (dim/PCA.java:120–177 at the 32768-dim multiVLAD of
+   * exm/YFCC100MExample.java:72–78): blocked subspace (orthogonal) iteration.
+   *
+   * Per sweep, Cov·Q is accumulated WITHOUT forming Cov: each row adds
+   * (x−μ)·((x−μ)ᵀQ) into a d×b buffer (b = numComponents + oversample), so
+   * task and driver state are O(d·b) — ~16 MB at d=32768, b=64 — never O(d²).
+   * The sweep result is QR-orthonormalized on the driver; after `sweeps`
+   * iterations a Rayleigh–Ritz step (b×b eigSym of Qᵀ·Cov·Q) rotates the
+   * basis to eigenvectors and yields the eigenvalues. Deterministic: seeded
+   * Gaussian init, fixed sweep count, same sign convention as [[learnPca]].
+   *
+   * Matches eigSym-quality components when the top-b spectrum is separated
+   * (convergence ratio (λ_{b+1}/λ_r)^sweeps) — asserted against the exact
+   * path in LearningSpec, plus a d=32768 run that would OOM any O(d²) task.
+   */
+  def learnPcaDistributed(vectors: DataFrame, numComponents: Int,
+                          sweeps: Int = 30, oversample: Int = 8,
+                          seed: Long = 77L)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    import breeze.linalg.{eigSym, DenseMatrix => BDM}
+    val rdd = vectors.select("vec").rdd.map(_.getSeq[Double](0).toArray).cache()
+    try {
+      val d = rdd.first().length
+      val spark = vectors.sparkSession
+      // pass 1: n and mean
+      val (n, sumX) = rdd.treeAggregate((0L, new Array[Double](d)))(
+        seqOp = { case ((cnt, s), v) =>
+          var i = 0; while (i < d) { s(i) += v(i); i += 1 }
+          (cnt + 1, s)
+        },
+        combOp = { case ((c1, s1), (c2, s2)) =>
+          var i = 0; while (i < d) { s1(i) += s2(i); i += 1 }
+          (c1 + c2, s1)
+        })
+      require(n > 1, "PCA needs more than one sample")
+      val means = sumX.map(_ / n)
+      val b = math.min(d, numComponents + oversample)
+
+      // seeded orthonormal start (column-major d×b)
+      val rnd = new java.util.Random(seed)
+      var q = Array.fill(b)(Array.fill(d)(rnd.nextGaussian()))
+      orthonormalizeColumns(q)
+
+      // Y = Σ_rows (x−μ)((x−μ)ᵀQ); O(d·b) per task, one treeAggregate per sweep
+      def covTimes(qCur: Array[Array[Double]]): Array[Array[Double]] = {
+        val bc = spark.sparkContext.broadcast(qCur)
+        val bcMeans = spark.sparkContext.broadcast(means)
+        val y = rdd.treeAggregate(Array.ofDim[Double](b, d))(
+          seqOp = { (acc, v) =>
+            val qq = bc.value; val mu = bcMeans.value
+            val c = new Array[Double](d)
+            var i = 0; while (i < d) { c(i) = v(i) - mu(i); i += 1 }
+            var j = 0
+            while (j < b) {
+              val qj = qq(j)
+              var w = 0.0; i = 0
+              while (i < d) { w += c(i) * qj(i); i += 1 }
+              val aj = acc(j); i = 0
+              while (i < d) { aj(i) += c(i) * w; i += 1 }
+              j += 1
+            }
+            acc
+          },
+          combOp = { (a1, a2) =>
+            var j = 0
+            while (j < b) {
+              val x = a1(j); val y2 = a2(j)
+              var i = 0; while (i < d) { x(i) += y2(i); i += 1 }
+              j += 1
+            }
+            a1
+          })
+        bc.destroy(); bcMeans.destroy()
+        // fold in the 1/(n−1) covariance scale so Rayleigh quotients are λ
+        val s = 1.0 / (n - 1)
+        y.foreach { row => var i = 0; while (i < d) { row(i) *= s; i += 1 } }
+        y
+      }
+
+      var sweep = 0
+      while (sweep < sweeps) {
+        q = covTimes(q)
+        orthonormalizeColumns(q)
+        sweep += 1
+      }
+
+      // Rayleigh–Ritz: B = Qᵀ(Cov·Q) (b×b), rotate Q by B's eigenvectors
+      val z = covTimes(q)
+      val bMat = BDM.tabulate(b, b)((i, j) => Kernels.dot(q(i), z(j)))
+      val sym = (bMat + bMat.t) * 0.5
+      val es = eigSym(sym)
+      val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(numComponents)
+      val eigenvalues = order.map(_._1)
+      val vT = order.map { case (_, idx) =>
+        val out = new Array[Double](d)
+        var j = 0
+        while (j < b) {
+          val w = es.eigenvectors(j, idx)
+          val qj = q(j)
+          var i = 0; while (i < d) { out(i) += w * qj(i); i += 1 }
+          j += 1
+        }
+        // sign convention: largest-|component| entry positive (match learnPca)
+        val maxI = out.indices.maxBy(i => math.abs(out(i)))
+        if (out(maxI) < 0) out.map(-_) else out
+      }
+      (means, eigenvalues, vT)
+    } finally { rdd.unpersist(); () }
+  }
+
+  /** In-place modified Gram-Schmidt over `cols` (each an Array[Double]). */
+  private def orthonormalizeColumns(cols: Array[Array[Double]]): Unit = {
+    val b = cols.length
+    var j = 0
+    while (j < b) {
+      val cj = cols(j)
+      var k2 = 0
+      while (k2 < j) {
+        val ck = cols(k2)
+        val p = Kernels.dot(cj, ck)
+        var i = 0; while (i < cj.length) { cj(i) -= p * ck(i); i += 1 }
+        k2 += 1
+      }
+      val nrm = Kernels.l2Norm(cj)
+      require(nrm > 1e-12, s"degenerate subspace column $j")
+      var i = 0; while (i < cj.length) { cj(i) /= nrm; i += 1 }
+      j += 1
+    }
   }
 
   /** PQ sub-quantizer learning: split vectors into m blocks, one independent

@@ -125,14 +125,24 @@ object Dedup {
    * distinct shingles, join docs sharing a shingle, dedupe pairs, compute
    * exact Jaccard. Exact but O(pairs-sharing-a-shingle) — the verification
    * oracle for the LSH paths, or a primary dedup at moderate scale.
+   *
+   * `maxShingleDf` caps a shingle's document frequency before the self-join
+   * (same guard as [[capBuckets]] on the LSH paths): one stop-shingle shared
+   * by 1M docs would otherwise contribute 10¹² candidate pairs. A dropped
+   * shingle loses a pair only if it was the pair's ONLY shared shingle — and
+   * a shingle that common carries ~zero Jaccard evidence. Results below the
+   * cap are exact (the driver oracle stays green).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Int = 10000): DataFrame = {
     val base = df.select(col(idCol),
       graft.functions.TextExpressions.word_shingles(col(textCol), shingleN,
         distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
-    val inv = base.select(col(idCol), explode(col("sh")).as("shingle"))
+    val inv = capBuckets(
+      base.select(col(idCol), explode(col("sh")).as("shingle")),
+      Seq("shingle"), maxShingleDf)
     val pairs = inv.as("x").join(inv.as("y"), col("x.shingle") === col("y.shingle"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))

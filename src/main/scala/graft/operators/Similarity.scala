@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.BoundedTopK
 
 /**
  * Similarity search over an embedding column (`array<float>`):
@@ -37,6 +38,29 @@ object Similarity {
     graft.functions.VectorExpressions.vec_cosine(a, b)
 
   /**
+   * Per-group bounded-heap top-k (the T1 partial+final shape,
+   * ds/Linear.java:138–163): map-side [[BoundedTopK]] collapses each
+   * partition's candidates to ≤ k rows per group before the shuffle; the final
+   * aggregate merges heaps. Plans as ObjectHashAggregate — no Window, no
+   * single-task per-group sort (asserted in PlanSpec).
+   * Returns groupCols + (idCol, scoreCol, rank).
+   */
+  def topKPerGroup(scored: DataFrame, groupCols: Seq[String],
+                   scoreCol: String, idCol: String, k: Int,
+                   ascending: Boolean): DataFrame = {
+    val g = groupCols.map(col)
+    scored
+      .groupBy(g: _*)
+      .agg(BoundedTopK.topK(col(scoreCol), col(idCol), lit(null), k,
+        ascending).as("__tk"))
+      .select(g :+ posexplode(col("__tk")): _*)
+      .select(g ++ Seq(
+        col("col.id").as(idCol),
+        col("col.score").as(scoreCol),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+  }
+
+  /**
    * Brute-force cosine top-k: each query (small set, broadcast) against the
    * full corpus; rank per query by (similarity desc, neighbor id asc) —
    * deterministic under ties. Self-matches excluded.
@@ -47,12 +71,10 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    topKPerGroup(scored, Seq("query_id"), "cosine", "neighbor_id", k,
+      ascending = false)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
@@ -101,13 +123,30 @@ object Similarity {
       col("list_id"))
     val scored = q.join(c, col("probe") === col("list_id") &&
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    topKPerGroup(scored, Seq("query_id"), "cosine", "neighbor_id", k,
+      ascending = false)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /**
+   * Exact-vs-approx recall diagnostic (J5, exm/Example.java:155–182: the
+   * reference prints the overlap of linear vs IVFPQ result sets). Per query:
+   * |exact ∩ approx| / k over the top-k neighbor-id sets. Both inputs in the
+   * (query_id, neighbor_id, …) shape of [[bruteForceTopK]]/[[ivfTopK]].
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    e.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_at_k"))
   }
 
   /** Sign-random-projection hash of an embedding: bit i = sign(v · h_i),

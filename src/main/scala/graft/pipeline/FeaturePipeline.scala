@@ -1,7 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
 
 import graft.extract.LocalFeatureExtractor
 import graft.kernels.{Imaging, Kernels}
@@ -11,11 +10,15 @@ import graft.model.ModelBundle
  * The extract→encode pipeline as one narrow typed transform (SURVEY.md §3.1
  * Spark shape): `decode → maxPixelsScaling → extract → multiVLAD → PCA →
  * coarse-assign → residual → transform → PQ-encode`, all inside a single
- * `mapPartitions` — descriptors and rasters never leave the row, image bytes
- * are never shuffled, and the broadcast model bundles are resolved once per
- * partition (mirroring the reference's per-JVM singletons,
+ * `Dataset.mapPartitions` — descriptors and rasters never leave the row,
+ * image bytes are never shuffled, and the broadcast model bundles are
+ * resolved once per partition (mirroring the reference's per-JVM singletons,
  * vec/ImageVectorization.java:55–65). Corrupt images produce an error-channel
  * row instead of failing the job (exm/FeatureExtraction.java:109–116).
+ *
+ * Typed Dataset (not RDD[Row]): the encoder keeps the rows in Tungsten
+ * format and the stage inside the Dataset execution path; the per-image
+ * imperative kernel is the genuine `mapPartitions` case.
  */
 object FeaturePipeline {
 
@@ -23,58 +26,65 @@ object FeaturePipeline {
       maxPixels: Long = 1024L * 768L, // reference default, ext/ImageScaling.java:53
       extractor: LocalFeatureExtractor)
 
-  val featureSchema: StructType = StructType(Seq(
-    StructField("image_id", StringType, nullable = false),
-    StructField("entity_id", StringType, nullable = true),
-    StructField("ts", TimestampType, nullable = true),
-    StructField("caption", StringType, nullable = true),
-    StructField("phash", LongType, nullable = true),
-    StructField("model_version", IntegerType, nullable = false),
-    StructField("n_descriptors", IntegerType, nullable = false),
-    StructField("vector", ArrayType(DoubleType, containsNull = false), nullable = true),
-    StructField("pq_code", ArrayType(IntegerType, containsNull = false), nullable = true),
-    StructField("list_id", IntegerType, nullable = true),
-    StructField("error", StringType, nullable = true)))
+  /** Input row contract for [[featurize]] (typically post as-of model join). */
+  final case class ImageInput(
+      image_id: String,
+      bytes: Array[Byte],
+      caption: Option[String],
+      phash: Option[Long],
+      ts: Option[java.sql.Timestamp],
+      entity_id: Option[String],
+      model_version: Int)
+
+  /** Output feature row — the indexed unit (vector + IVF list + PQ code). */
+  final case class FeatureRow(
+      image_id: String,
+      entity_id: Option[String],
+      ts: Option[java.sql.Timestamp],
+      caption: Option[String],
+      phash: Option[Long],
+      model_version: Int,
+      n_descriptors: Int,
+      vector: Option[Array[Double]],
+      pq_code: Option[Array[Int]],
+      list_id: Option[Int],
+      error: Option[String])
 
   /**
    * images: DataFrame with (image_id, bytes, fmt, caption, phash, ts,
    * entity_id, model_version) — model_version typically bound by
-   * Temporal.asOfJoin. Returns the feature table (featureSchema).
+   * Temporal.asOfJoin. Returns the feature table (FeatureRow schema).
    */
   def featurize(images: DataFrame, bundles: Map[Int, ModelBundle],
                 cfg: PipelineConfig): DataFrame = {
     val spark = images.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(bundles)
-    val input = images.selectExpr("image_id", "bytes", "caption", "phash",
+    images.selectExpr("image_id", "bytes", "caption", "phash",
       "ts", "entity_id", "model_version")
-    val rdd = input.rdd.mapPartitions { it =>
-      val bundleMap = bc.value
-      it.map { row =>
-        val imageId = row.getString(0)
-        val bytes = row.getAs[Array[Byte]](1)
-        val caption = row.getString(2)
-        val phash = if (row.isNullAt(3)) null else java.lang.Long.valueOf(row.getLong(3))
-        val ts = row.getAs[java.sql.Timestamp](4)
-        val entity = row.getString(5)
-        val version = row.getInt(6)
-        val bundle = bundleMap(version)
-        Imaging.decode(bytes) match {
-          case None =>
-            Row(imageId, entity, ts, caption, phash, version, 0, null, null, null,
-              "decode_failed")
-          case Some(raster) =>
-            val scaled = Imaging.maxPixelsScaling(raster, cfg.maxPixels)
-            val descriptors = cfg.extractor.extract(scaled)
-            val vec = encodeVector(descriptors, bundle)
-            val listId = Kernels.nearestCentroid(vec, bundle.coarseQuantizer)
-            val res = Kernels.residual(vec, bundle.coarseQuantizer(listId))
-            val code = Kernels.pqEncode(bundle.transform(res), bundle.pq)
-            Row(imageId, entity, ts, caption, phash, version, descriptors.length,
-              vec.toSeq, code.toSeq, listId, null)
+      .as[ImageInput]
+      .mapPartitions { it =>
+        val bundleMap = bc.value
+        it.map { in =>
+          val bundle = bundleMap(in.model_version)
+          Imaging.decode(in.bytes) match {
+            case None =>
+              FeatureRow(in.image_id, in.entity_id, in.ts, in.caption, in.phash,
+                in.model_version, 0, None, None, None, Some("decode_failed"))
+            case Some(raster) =>
+              val scaled = Imaging.maxPixelsScaling(raster, cfg.maxPixels)
+              val descriptors = cfg.extractor.extract(scaled)
+              val vec = encodeVector(descriptors, bundle)
+              val listId = Kernels.nearestCentroid(vec, bundle.coarseQuantizer)
+              val res = Kernels.residual(vec, bundle.coarseQuantizer(listId))
+              val code = Kernels.pqEncode(bundle.transform(res), bundle.pq)
+              FeatureRow(in.image_id, in.entity_id, in.ts, in.caption, in.phash,
+                in.model_version, descriptors.length, Some(vec), Some(code),
+                Some(listId), None)
+          }
         }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 
   /** descriptors → multiVLAD → (PCA iff it reduces) — the reference's
@@ -87,38 +97,38 @@ object FeaturePipeline {
 
   // ------------------------------------------------ learning-time helpers
 
-  private val vecSchema = StructType(Seq(
-    StructField("vec", ArrayType(DoubleType, containsNull = false), nullable = false)))
-
   /** All local descriptors of all decodable images, one row per descriptor —
-    * training input for codebook learning. */
+    * training input for codebook learning. Returns a (vec: array<double>) DF. */
   def descriptorTable(images: DataFrame, cfg: PipelineConfig): DataFrame = {
     val spark = images.sparkSession
-    val rdd = images.select("bytes").rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        Imaging.decode(row.getAs[Array[Byte]](0)).toSeq.flatMap { raster =>
-          cfg.extractor.extract(Imaging.maxPixelsScaling(raster, cfg.maxPixels))
-            .map(d => Row(d.toSeq))
+    import spark.implicits._
+    images.select("bytes").as[Array[Byte]]
+      .mapPartitions { it =>
+        it.flatMap { bytes =>
+          Imaging.decode(bytes).toSeq.flatMap { raster =>
+            cfg.extractor.extract(Imaging.maxPixelsScaling(raster, cfg.maxPixels))
+          }
         }
       }
-    }
-    spark.createDataFrame(rdd, vecSchema)
+      .toDF("vec")
   }
 
   /** Per-image multiVLAD vectors (training input for PCA learning). */
   def vladTable(images: DataFrame, codebooks: Array[Array[Array[Double]]],
                 cfg: PipelineConfig): DataFrame = {
     val spark = images.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(codebooks)
-    val rdd = images.select("bytes").rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        Imaging.decode(row.getAs[Array[Byte]](0)).map { raster =>
-          val descriptors = cfg.extractor
-            .extract(Imaging.maxPixelsScaling(raster, cfg.maxPixels))
-          Row(Kernels.multiVlad(descriptors, bc.value).toSeq)
+    images.select("bytes").as[Array[Byte]]
+      .mapPartitions { it =>
+        it.flatMap { bytes =>
+          Imaging.decode(bytes).map { raster =>
+            val descriptors = cfg.extractor
+              .extract(Imaging.maxPixelsScaling(raster, cfg.maxPixels))
+            Kernels.multiVlad(descriptors, bc.value)
+          }
         }
       }
-    }
-    spark.createDataFrame(rdd, vecSchema)
+      .toDF("vec")
   }
 }

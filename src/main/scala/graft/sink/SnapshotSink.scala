@@ -37,14 +37,25 @@ object SnapshotSink {
 
   private def snapshotsDir(table: String): Path = Paths.get(table, "_snapshots")
 
+  /** Materialize a directory listing and CLOSE the stream (Files.list leaks a
+    * directory fd otherwise — it accumulates in a long-lived driver). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def walkFiles(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   def lastSnapshot(table: String): Option[Snapshot] = {
     val dir = snapshotsDir(table)
     if (!Files.isDirectory(dir)) return None
-    val ids = Files.list(dir).iterator().asScala
+    val ids = listDir(dir)
       .map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d+\\.json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq
     if (ids.isEmpty) None
     else Some(readSnapshot(table, ids.max))
   }
@@ -79,7 +90,7 @@ object SnapshotSink {
     val tableRoot = Paths.get(table)
     Files.createDirectories(tableRoot)
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    Files.walk(staging).iterator().asScala
+    walkFiles(staging)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .foreach { p =>
         val rel = staging.relativize(p.getParent).toString // partition subdirs
@@ -131,11 +142,11 @@ object SnapshotSink {
   def allSnapshots(table: String): Seq[Snapshot] = {
     val dir = snapshotsDir(table)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d+\\.json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq.sorted
+      .sorted
       .map(readSnapshot(table, _))
   }
 
@@ -225,12 +236,33 @@ object SnapshotSink {
       intField("row_count"), parts, strField("key_col"), lin)
   }
 
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\")
+  /** Single-pass inverse of [[esc]]: sequential String.replace corrupted
+    * "\\n" (escaped backslash + n → backslash-newline) and never decoded the
+    * \WWWW control escapes — paths/lineage with backslashes or control chars
+    * must round-trip exactly for resume to work. */
+  private def unesc(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case _ => sb.append(c); i += 1 // not one of ours: keep literally
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
