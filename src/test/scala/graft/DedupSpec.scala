@@ -78,4 +78,21 @@ class DedupSpec extends AnyFunSuite {
     assert(hs(0) == hs(1))
     assert(hs(0) != hs(2))
   }
+
+  test("hot-shingle corpus: shingle-DF cap bounds the inverted-index join; " +
+    "pairs sharing only the stop-shingle are dropped, real dupes survive") {
+    // every doc carries the same stop-shingle; dupes also share unique content
+    val stop = "the quick fox"
+    val hot = (0 until 200).map(i => (i.toLong, s"$stop unique$i tail$i end$i")) ++
+      (0 until 5).map(i => (i + 5000L, s"$stop unique$i tail$i end$i")) // dupes of 0–4
+    val hotDf = hot.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(hotDf, "doc_id", "text",
+      shingleN = 3, threshold = 0.8, maxShingleDf = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the 205-doc stop-shingle bucket is dropped (DF > 50) → no 205² join;
+    // dupe pairs still found via their unique shingles
+    (0L until 5L).foreach(i => assert(capped.contains((i, i + 5000)), s"dupe $i"))
+    // non-dupe pairs share ONLY the capped stop-shingle → none reported
+    assert(capped.size == 5, s"got $capped")
+  }
 }

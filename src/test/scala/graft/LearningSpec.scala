@@ -83,4 +83,52 @@ class LearningSpec extends AnyFunSuite {
     assert(math.abs(Kernels.dot(vT(0), vT(0)) - 1.0) < 1e-9)
     assert(math.abs(Kernels.dot(vT(0), vT(1))) < 1e-9)
   }
+
+  test("learnPcaDistributed matches the exact-Gram path at small d") {
+    // structured data so the top-3 spectrum is separated
+    val rnd2 = new scala.util.Random(11)
+    val d = 48
+    val dirs = Array.tabulate(3, d)((j, i) =>
+      math.sin((i + 1) * (j + 1) * 0.37))
+      .map(Kernels.normalizeL2)
+    val data = (0 until 400).map { _ =>
+      val v = new Array[Double](d)
+      val coefs = Seq(10.0, 5.0, 2.0).map(_ * rnd2.nextGaussian())
+      dirs.zip(coefs).foreach { case (dir, c) =>
+        var i = 0; while (i < d) { v(i) += c * dir(i); i += 1 }
+      }
+      var i = 0; while (i < d) { v(i) += 0.05 * rnd2.nextGaussian(); i += 1 }
+      v.toSeq
+    }
+    val df = data.toDF("vec")
+    val (mE, eigE, vE) = Learning.learnPca(df, 3) // d=48 → exact path
+    val (mD, eigD, vD) = Learning.learnPcaDistributed(df, 3)
+    mE.zip(mD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    eigE.zip(eigD).foreach { case (a, b) =>
+      assert(math.abs(a - b) / a < 1e-6, s"eigenvalue $a vs $b") }
+    vE.zip(vD).foreach { case (a, b) =>
+      assert(math.abs(math.abs(Kernels.dot(a, b)) - 1.0) < 1e-6, "component alignment") }
+  }
+
+  test("learnPca at reference dimensionality (d=32768) runs in O(d·r) state " +
+    "— an O(d²) task would need ~8.6 GB and OOM this JVM") {
+    val rnd2 = new scala.util.Random(5)
+    val d = 32768
+    // planted top direction with dominant variance + noise
+    val dir = Kernels.normalizeL2(Array.tabulate(d)(i => math.sin(i * 0.013) + 0.2))
+    val data = (0 until 40).map { _ =>
+      val c = 20.0 * rnd2.nextGaussian()
+      val v = new Array[Double](d)
+      var i = 0
+      // tiny per-dim noise: at d=32768 the TOTAL noise variance is d·σ² and
+      // must stay well under the planted signal for alignment to be testable
+      while (i < d) { v(i) = c * dir(i) + 0.005 * rnd2.nextGaussian(); i += 1 }
+      v.toSeq
+    }
+    // learnPca dispatches to the distributed path above largeDimThreshold
+    val (_, eig, vT) = Learning.learnPca(data.toDF("vec"), 2)
+    assert(eig(0) > eig(1) && eig(0) > 100.0)
+    assert(math.abs(math.abs(Kernels.dot(vT(0), dir)) - 1.0) < 1e-3,
+      "top component must align with the planted direction")
+  }
 }

@@ -97,6 +97,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(pairs.contains((i, i + 1000)), s"missing dupe pair $i"))
   }
 
+  test("recallAtK (J5 overlap diagnostic) matches a scalar overlap computation " +
+    "and is high at nprobe=3") {
+    val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
+    val withList = corpus.withColumn("list_id",
+      Similarity.withListId(corpus, "embedding", centroids))
+    val queries = corpus.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 10)
+    val approx = Similarity.ivfTopK(queries, withList, "vec_id", "embedding",
+      centroids, k = 10, nprobe = 3)
+    val got = Similarity.recallAtK(exact, approx, 10)
+      .select("query_id", "recall_at_k").as[(Long, Double)].collect().toMap
+    // scalar oracle: overlap of the two collected id sets
+    val eSets = exact.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val aSets = approx.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 5L).foreach { q =>
+      val expect = (eSets(q) & aSets.getOrElse(q, Set.empty)).size / 10.0
+      assert(math.abs(got(q) - expect) < 1e-9, s"q$q")
+    }
+    assert(got.values.sum / got.size >= 0.5, s"mean recall too low: $got")
+  }
+
   test("cosine column matches scalar kernel") {
     val df = Seq((vecs(0)._2, vecs(1)._2)).toDF("a", "b")
     val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)

@@ -75,4 +75,40 @@ class SnapshotSinkSpec extends AnyFunSuite {
     // partition filter must reach the scan, not a post-filter over all rows
     assert(plan.contains("PartitionFilters") || plan.contains("part#"), plan.take(500))
   }
+
+  test("manifest strings with backslashes, quotes, newlines, control chars " +
+    "round-trip exactly (single-pass unescape)") {
+    val table = tmpTable()
+    val weird = Map(
+      "bs_n" -> "a\\nb",          // escaped-backslash + n — the old corruption case
+      "newline" -> "x\ny",
+      "quote" -> "he said \"hi\"",
+      "ctrl" -> "bell\u0001tab\ttail",
+      "path" -> "C:\\data\\models\\v1")
+    SnapshotSink.append(data(0 until 4), table, "id", Seq("part"), weird)
+    val back = SnapshotSink.lastSnapshot(table).get.lineage
+    weird.foreach { case (k, v) =>
+      assert(back(k) == v, s"lineage[$k] corrupted: '${back(k)}' != '$v'")
+    }
+  }
+
+  test("index transformation: truncate+renorm to a new snapshot table " +
+    "(exm/IndexTransformation.java:117–120)") {
+    val src = tmpTable(); val dst = tmpTable()
+    val vecs = (0 until 50).map(i =>
+      (s"img_$i", i % 4, Array.tabulate(6)(j => (i * 7 + j * 3 + 1).toDouble)))
+    SnapshotSink.append(vecs.toDF("image_id", "part", "vector"), src,
+      "image_id", Seq("part"))
+    val snap = graft.pipeline.IndexTransform.truncateIndex(
+      spark, src, dst, newLength = 3, keyCol = "image_id", partitionCols = Seq("part"))
+    assert(snap.rowCount == 50)
+    assert(snap.lineage("transform") == "truncate_renorm(3)")
+    val got = SnapshotSink.read(spark, dst)
+      .select("image_id", "vector").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.size == 50)
+    vecs.foreach { case (id, _, v) =>
+      assert(got(id) == graft.kernels.Kernels.truncateRenorm(v, 3).toSeq, id)
+    }
+  }
 }
