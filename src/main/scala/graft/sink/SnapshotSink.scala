@@ -86,33 +86,38 @@ object SnapshotSink {
       .parquet(staging.toString)
     val tWrite = System.currentTimeMillis()
 
-    // move staged files into the table tree under a snapshot-unique suffix
+    // move staged files into the table tree under a snapshot-unique suffix.
+    // Moves and footer reads run on a driver-side pool: a commit touches one
+    // file per (partition × writer task) — serially that is the job's fixed
+    // cost and caps scaling once executors outnumber driver IOPS.
     val tableRoot = Paths.get(table)
     Files.createDirectories(tableRoot)
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    walkFiles(staging)
+    val staged = walkFiles(staging)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .foreach { p =>
-        val rel = staging.relativize(p.getParent).toString // partition subdirs
-        val destDir = if (rel.isEmpty) tableRoot else tableRoot.resolve(rel)
-        Files.createDirectories(destDir)
-        val dest = destDir.resolve(s"snap$snapId-${p.getFileName}")
-        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        moved += tableRoot.relativize(dest).toString
-      }
+    staged.map(_.getParent).distinct.foreach { parent =>
+      val rel = staging.relativize(parent).toString
+      Files.createDirectories(if (rel.isEmpty) tableRoot else tableRoot.resolve(rel))
+    }
+    val moved: Seq[String] = inParallel(staged) { p =>
+      val rel = staging.relativize(p.getParent).toString // partition subdirs
+      val destDir = if (rel.isEmpty) tableRoot else tableRoot.resolve(rel)
+      val dest = destDir.resolve(s"snap$snapId-${p.getFileName}")
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      tableRoot.relativize(dest).toString
+    }
     deleteRecursively(staging)
 
     // per-partition row counts from parquet footers (driver metadata pass —
     // no extra Spark job; footer read is O(files), not O(rows))
-    val partCounts: Map[String, Long] = moved.toSeq
-      .groupBy { f =>
+    val counts: Seq[(String, Long)] =
+      inParallel(moved)(f => f -> parquetRowCount(tableRoot.resolve(f)))
+    val partCounts: Map[String, Long] = counts
+      .groupBy { case (f, _) =>
         val dir = Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
         // "salt=3/salt2=…" → "3/…" (values only, matching groupBy output)
         dir.split("/").filter(_.contains("=")).map(_.split("=", 2)(1)).mkString("/")
       }
-      .map { case (part, files) =>
-        part -> files.map(f => parquetRowCount(tableRoot.resolve(f))).sum
-      }
+      .map { case (part, fs) => part -> fs.map(_._2).sum }
     val rowCount = partCounts.values.sum
 
     val snap = Snapshot(snapId, parent.map(_.id).getOrElse(0), moved.toSeq, rowCount,
@@ -166,6 +171,19 @@ object SnapshotSink {
     }
     if (fresh.isEmpty) None
     else Some(append(fresh, table, keyCol, partitionCols, lineage))
+  }
+
+  /** Order-preserving parallel map on a bounded driver pool (commit metadata
+    * I/O: file moves + footer reads). */
+  private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.sizeIs <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, items.size))
+    try {
+      val futures = items.map(a => pool.submit(
+        new java.util.concurrent.Callable[B] { override def call(): B = f(a) }))
+      futures.map(_.get())
+    } finally { pool.shutdown(); () }
   }
 
   private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()

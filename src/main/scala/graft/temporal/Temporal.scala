@@ -22,6 +22,10 @@ object Temporal {
     * version side only. */
   def withValidity(versions: DataFrame, tsCol: String, keyCols: Seq[String],
                    validToCol: String = "valid_to"): DataFrame = {
+    // Keyless case: Spark logs "No Partition Defined for Window" here — that
+    // is EXPECTED and harmless: the keyless version side is the model table
+    // (a handful of rows, broadcast downstream in asOfJoin), so the single-
+    // partition window touches O(versions), never the event side.
     val w =
       if (keyCols.isEmpty) Window.partitionBy().orderBy(col(tsCol))
       else Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
