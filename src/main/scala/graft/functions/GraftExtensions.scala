@@ -28,5 +28,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ImageExpressions.ImgPsnr].getName, "img_psnr"),
       (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ImageExpressions.ImgPsnr(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VectorExpressions.VecCosine].getName, "vec_cosine"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorExpressions.VecCosine(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("vec_squared_l2"),
+      new ExpressionInfo(classOf[VectorExpressions.VecSquaredL2].getName, "vec_squared_l2"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorExpressions.VecSquaredL2(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("truncate_renorm"),
+      new ExpressionInfo(classOf[VectorExpressions.TruncateRenorm].getName, "truncate_renorm"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorExpressions.TruncateRenorm(e.head,
+          e(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BoundedTopK(e.head, e(1), e(2),
+          e(3).eval().asInstanceOf[Number].intValue(),
+          e(4).eval().asInstanceOf[Boolean])))
   }
 }

@@ -54,4 +54,20 @@ object Sources {
     val writer = lines.write.mode("overwrite")
     (if (gzip) writer.option("compression", "gzip") else writer).text(outDir)
   }
+
+  /** K4: key↔value map dump (the reference's id↔iid BDB map exports,
+    * ds/AbstractSearchStructure.java id maps) as `key,value` CSV lines. */
+  def writeMapCsv(df: DataFrame, keyCol: String, valueCol: String,
+                  outDir: String, gzip: Boolean = false): Unit = {
+    val lines = df.select(concat_ws(",",
+      col(keyCol).cast("string"), col(valueCol).cast("string")).as("value"))
+    val writer = lines.write.mode("overwrite")
+    (if (gzip) writer.option("compression", "gzip") else writer).text(outDir)
+  }
+
+  /** Read a K4 map dump back: (key, value) strings. */
+  def readMapCsv(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir)
+      .select(split(col("value"), ",", 2).as("parts"))
+      .select(col("parts").getItem(0).as("key"), col("parts").getItem(1).as("value"))
 }

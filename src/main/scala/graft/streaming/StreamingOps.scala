@@ -26,6 +26,17 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: first row per content key wins, duplicates in
+    * later batches are dropped by the state store; the watermark bounds state
+    * the way Dedup.exactGroups's shuffle is bounded by the batch (the
+    * streaming twin of F2 + exact dedup — at 100 TB/day ingest this is the
+    * de-dup-at-the-door path). */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionUpdate(user_id: Long, session_seq: Long, n_events: Long,
                                  start_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

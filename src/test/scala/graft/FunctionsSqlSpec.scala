@@ -42,4 +42,45 @@ class FunctionsSqlSpec extends AnyFunSuite {
       .collect()
     assert(nulls.length == 1 && nulls.head.isNullAt(0))
   }
+
+  test("vec_cosine / vec_squared_l2 / truncate_renorm / hyperplane_hash / " +
+    "bounded_top_k work from SQL and match the Column API") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.registerAll(spark)
+    val rnd = new scala.util.Random(8)
+    val rows = (0 until 20).map(i =>
+      (i % 3, i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    rows.toDF("g", "id", "vec").createOrReplaceTempView("graft_vecs")
+
+    val scalar = spark.sql(
+      """SELECT id, vec_cosine(vec, vec) AS self_cos,
+        |  vec_squared_l2(vec, vec) AS self_l2,
+        |  truncate_renorm(vec, 3) AS t3,
+        |  hyperplane_hash(vec, 8, 16, 42L) AS hh
+        |FROM graft_vecs ORDER BY id""".stripMargin).collect()
+    scalar.foreach { r =>
+      val v = rows(r.getLong(0).toInt)._3
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+      assert(r.getDouble(2) == 0.0)
+      assert(r.getSeq[Double](3) == graft.kernels.Kernels.truncateRenorm(v, 3).toSeq)
+    }
+    // hyperplane_hash SQL == Similarity.hyperplaneHash Column API (same seed)
+    val apiHashes = rows.toDF("g", "id", "vec")
+      .select(col("id"), graft.operators.Similarity
+        .hyperplaneHash(col("vec"), dim = 8, bits = 16, seed = 42L).as("hh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scalar.foreach(r => assert(r.getLong(r.fieldIndex("hh")) == apiHashes(r.getLong(0))))
+
+    // bounded_top_k as a SQL aggregate: 2 lowest ids per group by score=id
+    val tk = spark.sql(
+      """SELECT g, bounded_top_k(CAST(id AS DOUBLE), id, CAST(NULL AS INT), 2, true) AS tk
+        |FROM graft_vecs GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(tk.length == 3)
+    tk.foreach { r =>
+      val g = r.getInt(0)
+      val ids = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
+      val expect = rows.filter(_._1 == g).map(_._2).sorted.take(2)
+      assert(ids == expect, s"group $g")
+    }
+  }
 }

@@ -74,6 +74,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("vec_cosine / vec_squared_l2 stay inside whole-stage codegen") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = emb.select(
+      graft.functions.VectorExpressions.vec_cosine(col("embedding"), col("embedding")).as("c"),
+      graft.functions.VectorExpressions.vec_squared_l2(col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "expressions must be inside a WholeStageCodegen span:\n" +
+      plan.take(500))
+    // and they actually compute correctly through the generated path
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 0.0)
+    }
+  }
+
   test("window queries partition by entity (no global single-partition window)") {
     Seq("q_backfill", "q_sessionize", "q_window_agg", "q_lag_lead").foreach { q =>
       val plan = planOf(SparkEntry.queries(q)(spark, sf))

@@ -60,4 +60,23 @@ class StreamingSpec extends AnyFunSuite {
     val lastPerSession = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     assert(lastPerSession == Map(1L -> 3L, 2L -> 3L, 3L -> 1L), s"got $rows")
   }
+
+  test("streaming dedupByKey drops duplicate keys within and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val docs = input.toDF().toDF("content_key", "ts", "doc_id")
+    val deduped = StreamingOps.dedupByKey(docs, Seq("content_key"), "ts")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    input.addData(
+      ("ka", ts(0), "d1"), ("kb", ts(1), "d2"), ("ka", ts(2), "d3")) // in-batch dupe
+    q.processAllAvailable()
+    input.addData(
+      ("kb", ts(3), "d4"), ("kc", ts(4), "d5")) // cross-batch dupe + fresh key
+    q.processAllAvailable(); q.stop()
+    val keys = spark.table("dedup_out")
+      .select("content_key").as[String].collect().toSeq
+    assert(keys.sorted == Seq("ka", "kb", "kc"), s"got $keys")
+  }
 }
