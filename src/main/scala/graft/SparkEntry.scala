@@ -206,6 +206,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish subword-token estimate (letter runs + single digits + single
+    // punctuation glyphs — the GPT-2 pre-tokenizer's coarse shape).
+    "q_token_count_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 6).as("quality"))
@@ -247,6 +256,19 @@ object SparkEntry {
         shingleN = 3, threshold = 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Near-dup CLUSTERS: exact-Jaccard pairs (same pair set as
+    // q_ngram_jaccard, hash-proven) → distributed connected components
+    // (min-label propagation). group_id = min doc_id in the component; the
+    // DuckDB oracle recomputes components with a recursive CTE.
+    "q_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        docsWithDupes(s, dir, maxDocs = 500L), "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("group_id").cast("long").as("group_id"))
+        .orderBy("doc_id")
     }),
 
     // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
@@ -423,6 +445,41 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
         |  ELSE CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pattern interpolated verbatim: backslash escapes (\t \n \r) are inert in
+    // DuckDB single-quoted strings and resolve inside RE2 exactly as the same
+    // literal resolves in the JVM regex — both mean the control characters.
+    "q_token_count_bpe" ->
+      ("""SELECT doc_id, CAST(length(regexp_extract_all(text, '""" +
+        graft.operators.TextOps.bpeTokenPattern +
+        """')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""").stripMargin,
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+        |  FROM documents WHERE doc_id < 20
+        |), base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM all_docs)
+        |  WHERE array_length(toks) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh)) > 0
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.6
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
+        |)
+        |SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       """SELECT doc_id, ROUND(

@@ -121,6 +121,58 @@ object Dedup {
   }
 
   /**
+   * Distributed connected components over a near-dup pair list — pairs say
+   * "these two are duplicates"; a curation pipeline needs the CLUSTERS (keep
+   * one representative per component). Iterative min-label propagation: each
+   * sweep is one equi-join (edges × labels) + one min-aggregate, both plain
+   * hash shuffles on the id — no driver-side graph. Converges in
+   * O(component diameter) sweeps; near-dup clusters are shallow (dupes of one
+   * source), so 3–5 sweeps is typical; `maxIter` bounds the job and
+   * adversarially long chains would swap in large-star/small-star.
+   * Input: (id_a, id_b) pairs. Output: (id, group_id = min id reachable).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    // Each sweep MUST truncate lineage (localCheckpoint), not just cache:
+    // labels_i references labels_{i-1} twice (join + message aggregate), so
+    // the logical plan doubles per sweep and the analyzer — which sees plans,
+    // not caches — goes exponential by sweep ~20.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    try {
+      while (iter < maxIter && !converged) {
+        val msgs = edges
+          .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("label")).as("nbr_min"))
+        val next = labels
+          .join(msgs, Seq("id"), "left")
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        converged = next.where(col("label") < col("__old")).isEmpty
+        labels = next.select("id", "label")
+        iter += 1
+      }
+      labels.select(col("id"), col("label").as("group_id"))
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Near-duplicate clusters end-to-end: LSH candidate pairs (verified by
+    * exact Jaccard) → connected components → (id, group_id). The curation
+    * step keeps `id == group_id` rows plus all never-paired docs. */
+  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                    threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    connectedComponents(
+      minhashLshPairs(df, idCol, textCol, shingleN, bands, rowsPerBand,
+        threshold, maxBucket))
+
+  /**
    * Exact n-gram Jaccard pairs via an inverted-index self-join: explode
    * distinct shingles, join docs sharing a shingle, dedupe pairs, compute
    * exact Jaccard. Exact but O(pairs-sharing-a-shingle) — the verification

@@ -22,6 +22,14 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword-token estimate: counts letter runs, single digits, and
+    * single non-alphanumeric glyphs (the GPT-2 pre-tokenizer's coarse shape —
+    * digits and punctuation tokenize individually, words as runs). Pure-ASCII
+    * character classes so Java regex and the DuckDB (RE2) oracle agree. */
+  val bpeTokenPattern: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
   /** Word n-gram shingles as space-joined strings; < n tokens → empty array. */
   def shingles(tokenArr: Column, n: Int): Column =
     when(size(tokenArr) < n, array().cast("array<string>"))

@@ -79,6 +79,31 @@ class DedupSpec extends AnyFunSuite {
     assert(hs(0) != hs(2))
   }
 
+  test("connectedComponents: min-label groups over chains, cycles, and " +
+    "isolated pairs; converges within diameter sweeps") {
+    // components: chain 1-2-3-4-5-6 (diameter 5), triangle 10-11-12 + spur 13,
+    // isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 12)
+  }
+
+  test("nearDupGroups clusters the injected dupes with their sources") {
+    val groups = Dedup.nearDupGroups(docs, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .as[(Long, Long)].collect().toMap
+    // exact dupes (id+1000) and near dupes (id+2000) must share their source's group
+    (0L until 10L).foreach(i => assert(groups(i + 1000) == groups(i), s"exact $i"))
+    (10L until 20L).foreach(i => assert(groups(i + 2000) == groups(i), s"near $i"))
+  }
+
   test("hot-shingle corpus: shingle-DF cap bounds the inverted-index join; " +
     "pairs sharing only the stop-shingle are dropped, real dupes survive") {
     // every doc carries the same stop-shingle; dupes also share unique content

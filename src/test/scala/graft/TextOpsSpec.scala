@@ -25,6 +25,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array(3, 0, 1, 4)))
   }
 
+  test("tokenCountBpe matches a scalar JVM-regex count (letter runs, " +
+    "single digits, single punct)") {
+    val texts = Seq("hello world", "a1b2", "don't stop!", "", "  ", "42 + 42",
+      "comma,separated,list")
+    val got = texts.toDF("text").select(TextOps.tokenCountBpe(col("text")))
+      .as[Int].collect()
+    val p = java.util.regex.Pattern.compile(TextOps.bpeTokenPattern)
+    texts.zip(got).foreach { case (t, n) =>
+      var c = 0; val m = p.matcher(t); while (m.find()) c += 1
+      assert(n == c, s"'$t'")
+    }
+    // sanity of the shape: digits and punct tokenize individually
+    assert(got(1) == 4) // a,1,b,2
+    assert(got(2) == 5) // don,',t,stop,!
+  }
+
   test("shingles: n-grams as space-joined strings; short docs → empty") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(TextOps.shingles(TextOps.tokens(col("text")), 3))
