@@ -186,6 +186,55 @@ object ImageQueries {
         .orderBy("image_id")
     }),
 
+    // Multimodal audio column: real RIFF/WAVE PCM16 parse + amplitude stats
+    // over an opaque binary column; corrupt bytes → null row-local (the same
+    // error-channel seam as decode_image). Deterministic synthetic WAVs.
+    "q_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.MediaExpressions
+      val clips = s.range(0, 64).map { i =>
+        val bytes =
+          if (i == 1L) Array[Byte](9, 9, 9, 9) // corrupt
+          else {
+            val sr = 8000
+            val n = 400 + (i % 5).toInt * 100
+            val freq = 100.0 + (i % 7) * 50.0
+            MediaExpressions.encodeWavPcm16(sr, 1, Array.tabulate(n)(t =>
+              (math.sin(2 * math.Pi * freq * t / sr) * 12000).toShort))
+          }
+        (f"aud_$i%04d", bytes)
+      }.toDF("clip_id", "bytes")
+      clips
+        .withColumn("stats", MediaExpressions.audio_pcm_stats(col("bytes")))
+        .select(col("clip_id"),
+          col("stats.sample_rate"), col("stats.n_samples"),
+          round(col("stats.rms"), 6).as("rms"),
+          round(col("stats.peak"), 6).as("peak"),
+          col("stats").isNull.as("is_corrupt"))
+        .orderBy("clip_id")
+    }),
+
+    // Multimodal video column: every-nth frame sampling over the documented
+    // toy GVID container (the demux is the stub; the binary-column plumbing,
+    // schema, and null-on-corrupt contract are the real, tested part).
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.MediaExpressions
+      val vids = s.range(0, 48).map { i =>
+        val bytes =
+          if (i == 2L) Array[Byte](1, 2, 3) // corrupt
+          else MediaExpressions.encodeGvid(Seq.tabulate((i % 6).toInt + 1)(f =>
+            Array.fill(16 + f)(((i + f) % 127).toByte)))
+        (f"vid_$i%04d", bytes)
+      }.toDF("video_id", "bytes")
+      vids
+        .withColumn("frames",
+          MediaExpressions.video_frame_sample(col("bytes"), everyN = 2))
+        .select(col("video_id"), size(col("frames")).as("n_sampled"),
+          col("frames").isNull.as("is_corrupt"))
+        .orderBy("video_id")
+    }),
+
     // SURF-style extraction (P5, ext/SURFExtractor.java:44–59 — our own
     // Fast-Hessian + 64-d Haar descriptor, SurfLiteExtractor): per-image
     // keypoint/descriptor stats over larger structured rasters.

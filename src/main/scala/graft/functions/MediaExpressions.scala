@@ -1,0 +1,170 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal (audio/video) columns, same seam as the image path: the payload
+ * is an opaque `binary` column; decode/feature-extract happens row-local in a
+ * native expression; malformed bytes yield NULL (the error channel), never a
+ * task failure. The reference is image-only — these exist because a
+ * training-data engine ingests mixed media through one pipeline shape.
+ *
+ * - [[AudioPcmStats]] is a REAL parser for RIFF/WAVE PCM16 (the format is a
+ *   public 44-byte-header standard; no codec library needed).
+ * - [[VideoFrameSample]] demuxes a deliberately TOY container ("GVID":
+ *   magic, frame count, then length-prefixed frames) — real video demuxing
+ *   needs codec libraries this container lacks (zero egress), so the PARSER
+ *   is the documented stub; the Spark-side contract (binary column in,
+ *   array<struct> of sampled frame descriptors out, row-local, null on
+ *   corrupt) is the real, tested part and survives swapping in a real
+ *   demuxer.
+ */
+object MediaExpressions {
+
+  final case class PcmStats(sampleRate: Int, channels: Int, nSamples: Long,
+                            rms: Double, peak: Double)
+
+  /** Parse RIFF/WAVE PCM16 and compute amplitude stats; None if malformed. */
+  def parseWavPcm16(bytes: Array[Byte]): Option[PcmStats] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = bb.getShort(off + 8).toInt
+          if (audioFormat != 1) return None // PCM only
+          channels = bb.getShort(off + 10).toInt
+          sampleRate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22).toInt
+          if (bits != 16) return None
+        case "data" =>
+          dataOff = off + 8; dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
+    val n = dataLen / 2
+    var i = 0; var sumSq = 0.0; var peak = 0.0
+    while (i < n) {
+      val s = bb.getShort(dataOff + 2 * i) / 32768.0
+      sumSq += s * s
+      val a = math.abs(s); if (a > peak) peak = a
+      i += 1
+    }
+    Some(PcmStats(sampleRate, channels, n.toLong / math.max(channels, 1),
+      if (n == 0) 0.0 else math.sqrt(sumSq / n), peak))
+  }
+
+  /** Encode a PCM16 WAV (test/synthesis side of the real parser). */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+                     samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2); bb.putShort((channels * 2).toShort)
+    bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  final case class FrameRef(idx: Int, offset: Int, size: Int)
+
+  /** Demux the toy "GVID" container; every-nth frame refs. None if malformed. */
+  def sampleGvidFrames(bytes: Array[Byte], everyN: Int): Option[Seq[FrameRef]] = {
+    if (bytes == null || bytes.length < 8 || everyN <= 0) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (!(bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' && bytes(3) == 'D'))
+      return None
+    val nFrames = bb.getInt(4)
+    if (nFrames < 0) return None
+    var off = 8
+    val out = Seq.newBuilder[FrameRef]
+    var i = 0
+    while (i < nFrames) {
+      if (off + 4 > bytes.length) return None
+      val size = bb.getInt(off)
+      if (size < 0 || off + 4 + size > bytes.length) return None
+      if (i % everyN == 0) out += FrameRef(i, off + 4, size)
+      off += 4 + size
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  /** Build a GVID blob (test/synthesis side). */
+  def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes); bb.putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  val pcmStatsType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false)))
+
+  case class AudioPcmStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = pcmStatsType
+    override def nullable: Boolean = true
+    override def prettyName: String = "audio_pcm_stats"
+    override def nullSafeEval(b: Any): Any =
+      parseWavPcm16(b.asInstanceOf[Array[Byte]]) match {
+        case None => null
+        case Some(s) => new GenericInternalRow(Array[Any](
+          s.sampleRate, s.channels, s.nSamples, s.rms, s.peak))
+      }
+    override protected def withNewChildInternal(c: Expression): AudioPcmStats =
+      copy(child = c)
+  }
+
+  val frameRefType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("offset", IntegerType, nullable = false),
+    StructField("size", IntegerType, nullable = false))), containsNull = false)
+
+  case class VideoFrameSample(child: Expression, everyN: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = frameRefType
+    override def nullable: Boolean = true
+    override def prettyName: String = "video_frame_sample"
+    override def nullSafeEval(b: Any): Any =
+      sampleGvidFrames(b.asInstanceOf[Array[Byte]], everyN) match {
+        case None => null
+        case Some(refs) => new GenericArrayData(refs.map(r =>
+          new GenericInternalRow(Array[Any](r.idx, r.offset, r.size))))
+      }
+    override protected def withNewChildInternal(c: Expression): VideoFrameSample =
+      copy(child = c)
+  }
+
+  def audio_pcm_stats(bytes: Column): Column =
+    GraftBridge.column(AudioPcmStats(GraftBridge.expression(bytes)))
+  def video_frame_sample(bytes: Column, everyN: Int): Column =
+    GraftBridge.column(VideoFrameSample(GraftBridge.expression(bytes), everyN))
+}

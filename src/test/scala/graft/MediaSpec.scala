@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MediaExpressions
+import graft.functions.MediaExpressions.{encodeGvid, encodeWavPcm16, parseWavPcm16, sampleGvidFrames}
+
+/** Multimodal binary columns: real PCM16-WAV parse (stats pinned to a scalar
+  * recomputation), toy-container frame sampling, null error channel for
+  * corrupt payloads — all row-local through native expressions. */
+class MediaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sine(sr: Int, n: Int, freq: Double): Array[Short] =
+    Array.tabulate(n)(t => (math.sin(2 * math.Pi * freq * t / sr) * 12000).toShort)
+
+  test("parseWavPcm16 round-trips encodeWavPcm16 and computes exact stats") {
+    val samples = sine(8000, 800, 220.0)
+    val stats = parseWavPcm16(encodeWavPcm16(8000, 1, samples)).get
+    assert(stats.sampleRate == 8000 && stats.channels == 1 && stats.nSamples == 800)
+    val ref = samples.map(_ / 32768.0)
+    assert(math.abs(stats.rms - math.sqrt(ref.map(x => x * x).sum / ref.length)) < 1e-12)
+    assert(math.abs(stats.peak - ref.map(math.abs).max) < 1e-12)
+  }
+
+  test("parseWavPcm16 rejects malformed payloads (short, bad magic, " +
+    "non-PCM, truncated chunks)") {
+    assert(parseWavPcm16(Array[Byte](1, 2, 3)).isEmpty)
+    val good = encodeWavPcm16(8000, 1, sine(8000, 100, 440.0))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(parseWavPcm16(badMagic).isEmpty)
+    val truncated = java.util.Arrays.copyOf(good, good.length - 50)
+    assert(parseWavPcm16(truncated).isEmpty)
+  }
+
+  test("audio_pcm_stats expression: stats through the DataFrame, null for corrupt") {
+    val rows = Seq(
+      ("a", encodeWavPcm16(16000, 2, sine(16000, 640, 330.0))),
+      ("b", Array[Byte](0, 0, 0, 0))).toDF("id", "bytes")
+    val got = rows.select(col("id"),
+      MediaExpressions.audio_pcm_stats(col("bytes")).as("s"))
+      .orderBy("id").collect()
+    assert(got(0).getStruct(1).getInt(0) == 16000)
+    assert(got(0).getStruct(1).getInt(1) == 2)
+    assert(got(0).getStruct(1).getLong(2) == 320) // 640 samples / 2 channels
+    assert(got(1).isNullAt(1))
+  }
+
+  test("sampleGvidFrames: every-nth refs with exact offsets; corrupt → None") {
+    val frames = Seq.tabulate(5)(i => Array.fill(10 + i)(i.toByte))
+    val blob = encodeGvid(frames)
+    val refs = sampleGvidFrames(blob, 2).get
+    assert(refs.map(_.idx) == Seq(0, 2, 4))
+    refs.foreach { r =>
+      val payload = java.util.Arrays.copyOfRange(blob, r.offset, r.offset + r.size)
+      assert(payload.sameElements(frames(r.idx)), s"frame ${r.idx}")
+    }
+    assert(sampleGvidFrames(Array[Byte](1, 2), 2).isEmpty)
+    // declared frame larger than the blob → malformed, not a crash
+    val bad = blob.clone(); bad(8) = 127 // first frame size byte
+    assert(sampleGvidFrames(bad, 1).isEmpty)
+  }
+
+  test("video_frame_sample expression: sampled counts per row, null for corrupt") {
+    val rows = Seq(
+      ("v1", encodeGvid(Seq.tabulate(6)(i => Array.fill(8)(i.toByte)))),
+      ("v2", Array[Byte](9, 9))).toDF("id", "bytes")
+    val got = rows.select(col("id"),
+      MediaExpressions.video_frame_sample(col("bytes"), 3).as("f"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0)) == Seq(0, 3))
+    assert(got(1).isNullAt(1))
+  }
+}
