@@ -128,6 +128,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of with a staleness bound (feature-eng "max staleness"): bind each
+    // event to the user's latest PURCHASE no older than 1 hour; events whose
+    // last purchase is staler drop out (inner join).
+    "q_asof_tolerance" -> ((s, dir) => {
+      val purchases = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+        .agg(max(col("event_id")).as("purchase_event"))
+      Temporal.asOfJoin(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        purchases, leftTs = "ts", rightTs = "purchase_ts", keys = Seq("user_id"),
+        lookback = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("purchase_event"),
+          col("asof_purchase_ts").cast("timestamp").cast("long").as("asof_epoch"))
+        .orderBy("event_id")
+    }),
+
     // ------------------------------------------------------------- windows
     // Forward-fill (backfill) of a sparsely-observed value per entity.
     "q_backfill" -> ((s, dir) => {
@@ -271,6 +288,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Curation keep-set: drop non-representative members of every dup group
+    // (exact-Jaccard pairs → components → left-anti). Never-paired docs stay.
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = docsWithDupes(s, dir, maxDocs = 500L)
+      val groups = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.6))
+      Dedup.keepRepresentatives(docs, "doc_id", groups)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     // recall/precision asserted against exact Jaccard in ScalaTest).
     "q_minhash_lsh" -> ((s, dir) => {
@@ -390,6 +417,53 @@ object SparkEntry {
         |FROM events e JOIN v ON e.user_id = v.user_id
         |  AND v.o_orderdate <= e.ts AND (v.valid_to IS NULL OR e.ts < v.valid_to)
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_event
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), v AS (
+        |  SELECT user_id, purchase_event, purchase_ts,
+        |    LEAD(purchase_ts) OVER (PARTITION BY user_id ORDER BY purchase_ts) AS valid_to
+        |  FROM p
+        |)
+        |-- FLOOR: Spark's timestamp→long cast truncates sub-second fractions,
+        |-- DuckDB's BIGINT cast of epoch() would round them
+        |SELECT e.event_id, v.purchase_event, CAST(FLOOR(epoch(v.purchase_ts)) AS BIGINT) AS asof_epoch
+        |FROM events e JOIN v ON e.user_id = v.user_id
+        |  AND v.purchase_ts <= e.ts AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+        |  AND e.ts <= v.purchase_ts + INTERVAL 1 HOUR
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_dedup_keep" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+        |  FROM documents WHERE doc_id < 20
+        |), base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM all_docs)
+        |  WHERE array_length(toks) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh)) > 0
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.6
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
+        |), comp AS (
+        |  SELECT id, MIN(r) AS group_id FROM reach GROUP BY id
+        |)
+        |SELECT doc_id FROM all_docs
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> group_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_backfill" ->
       """SELECT event_id, ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

@@ -162,6 +162,15 @@ object Dedup {
     } finally { edges.unpersist(); () }
   }
 
+  /** Curation materialization: drop every row whose id belongs to a group but
+    * is not its representative (group_id = min id); rows never paired survive
+    * untouched. One left-anti join against the (small) duplicate-id set. */
+  def keepRepresentatives(df: DataFrame, idCol: String, groups: DataFrame): DataFrame = {
+    val dupes = groups.where(col("id") =!= col("group_id"))
+      .select(col("id").as(idCol))
+    df.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate clusters end-to-end: LSH candidate pairs (verified by
     * exact Jaccard) → connected components → (id, group_id). The curation
     * step keeps `id == group_id` rows plus all never-paired docs. */

@@ -45,6 +45,11 @@ object Temporal {
    * small (model-version style) and is broadcast explicitly.
    *
    * Column collision rule: right's ts column is exposed as `asof_<tsRight>`.
+   *
+   * `lookback`: optional staleness bound — a version older than
+   * `left.ts − lookback` does NOT bind (feature-engineering "max staleness":
+   * a 2-year-old price is worse than no price). SQL-interval expression,
+   * e.g. `expr("INTERVAL 30 DAYS")`.
    */
   def asOfJoin(
       left: DataFrame,
@@ -52,14 +57,19 @@ object Temporal {
       leftTs: String,
       rightTs: String,
       keys: Seq[String] = Seq.empty,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      lookback: Option[Column] = None): DataFrame = {
     val validTo = "__asof_valid_to"
     val r0 = withValidity(right, rightTs, keys, validTo)
       .withColumnRenamed(rightTs, s"asof_$rightTs")
     val rightKeyed = keys.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"__asof_k_$k"))
     val r = if (keys.isEmpty) broadcast(rightKeyed) else rightKeyed
-    val rangeCond = col(s"asof_$rightTs") <= col(leftTs) &&
+    val rangeCond0 = col(s"asof_$rightTs") <= col(leftTs) &&
       (col(validTo).isNull || col(leftTs) < col(validTo))
+    val rangeCond = lookback match {
+      case None => rangeCond0
+      case Some(lb) => rangeCond0 && col(leftTs) <= col(s"asof_$rightTs") + lb
+    }
     val cond = keys
       .map(k => col(k) === col(s"__asof_k_$k"))
       .foldLeft(rangeCond)(_ && _)

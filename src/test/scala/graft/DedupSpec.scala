@@ -104,6 +104,17 @@ class DedupSpec extends AnyFunSuite {
     (10L until 20L).foreach(i => assert(groups(i + 2000) == groups(i), s"near $i"))
   }
 
+  test("keepRepresentatives drops exactly the non-representative group members") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val groups = Dedup.connectedComponents(pairs)
+    val corpus = (1L to 5L).map(i => (i, s"doc$i"))
+      .++(Seq((20L, "x"), (21L, "y"))).toDF("doc_id", "text")
+    val kept = Dedup.keepRepresentatives(corpus, "doc_id", groups)
+      .select("doc_id").as[Long].collect().sorted
+    // 2,3 (group of 1) and 21 (group of 20) drop; never-paired 4,5 survive
+    assert(kept.sameElements(Array(1L, 4L, 5L, 20L)))
+  }
+
   test("hot-shingle corpus: shingle-DF cap bounds the inverted-index join; " +
     "pairs sharing only the stop-shingle are dropped, real dupes survive") {
     // every doc carries the same stop-shingle; dupes also share unique content

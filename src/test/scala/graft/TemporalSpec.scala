@@ -129,4 +129,19 @@ class TemporalSpec extends AnyFunSuite {
     val salted = Temporal.withSalt(df, col("phash"), 8).select("salt").as[Int].collect()
     assert(salted.forall(s => s >= 0 && s < 8))
   }
+
+  test("asOfJoin lookback: versions staler than the bound do not bind; " +
+    "fresh ones bind exactly as without it") {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, "k", ts(0)), (2L, "k", ts(30)), (3L, "k", ts(200)))
+      .toDF("event_id", "key", "ts")
+    val versions = Seq(("k", 7, ts(-5)), ("k", 8, ts(25)))
+      .toDF("key", "version", "valid_from")
+    val bound = Temporal.asOfJoin(left, versions, "ts", "valid_from",
+      keys = Seq("key"), lookback = Some(expr("INTERVAL 1 HOUR")))
+      .select("event_id", "version").as[(Long, Int)].collect().toMap
+    // event 1: v7 is 5 min old → binds; event 2: v8 is 5 min old → binds;
+    // event 3: v8 is 175 min old → exceeds 1h bound, row drops (inner)
+    assert(bound == Map(1L -> 7, 2L -> 8))
+  }
 }
