@@ -158,6 +158,17 @@ object Similarity {
     graft.functions.VectorExpressions.hyperplane_hash(vecCol, planes)
   }
 
+  /** Embedding near-duplicate CLUSTERS: LSH-bucketed pairs → distributed
+    * connected components (semantic dedup: keep one row per cluster via
+    * Dedup.keepRepresentatives). */
+  def embeddingNearDupGroups(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, threshold: Double = 0.95,
+                             bits: Int = 32, chunks: Int = 4,
+                             seed: Long = 42L, maxBucket: Int = 1000): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+      embeddingNearDupPairs(df, idCol, vecCol, dim, threshold, bits, chunks,
+        seed, maxBucket))
+
   /** Embedding near-duplicate pairs: bucket by hyperplane-hash chunks (recall
     * by pigeonhole), verify with exact cosine ≥ threshold. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -120,6 +120,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.sum / got.size >= 0.5, s"mean recall too low: $got")
   }
 
+  test("embeddingNearDupGroups clusters injected duplicate chains") {
+    // i and i+1000 are exact dupes → every group {i, i+1000} labels to i
+    val withDupes = corpus.unionByName(
+      corpus.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val groups = Similarity.embeddingNearDupGroups(withDupes, "vec_id",
+      "embedding", dim = dim, threshold = 0.999)
+      .as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach(i => assert(groups(i + 1000) == groups(i), s"dupe $i"))
+  }
+
   test("cosine column matches scalar kernel") {
     val df = Seq((vecs(0)._2, vecs(1)._2)).toDF("a", "b")
     val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
