@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -28,28 +28,78 @@ object PqExpressions {
    * non-IVF (single global LUT) or SDC (LUT rows = sdcTable[j][queryCode_j])
    * pass a single-entry map and a literal list id.
    */
+  /** Broadcast LUT map → direct-index jagged array (list_id-indexed; null =
+    * un-probed). Built ONCE per generated-class instance / per interpreted
+    * expression on the executor — the per-row path is plain array indexing. */
+  def buildLutTable(luts: Broadcast[Map[Int, Array[Array[Double]]]])
+      : Array[Array[Array[Double]]] = {
+    val m = luts.value
+    require(m.nonEmpty, "adc_distance: empty LUT map")
+    val table = new Array[Array[Array[Double]]](m.keys.max + 1)
+    m.foreach { case (li, lut) =>
+      require(li >= 0, s"adc_distance: negative list_id $li")
+      table(li) = lut
+    }
+    table
+  }
+
+  def lutMissing(listId: Int): Nothing = throw new IllegalArgumentException(
+    s"adc_distance: no LUT for list_id=$listId (un-probed list reached the scan)")
+
   case class AdcDistance(
       left: Expression, // pq_code: array<int>
       right: Expression, // list_id: int
       luts: Broadcast[Map[Int, Array[Array[Double]]]])
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "adc_distance"
 
-    @transient private lazy val lutMap: Map[Int, Array[Array[Double]]] = luts.value
+    @transient private lazy val lutTable: Array[Array[Array[Double]]] =
+      buildLutTable(luts)
 
     override def nullSafeEval(codeAny: Any, listAny: Any): Any = {
       val code = codeAny.asInstanceOf[ArrayData]
-      val lut = lutMap.getOrElse(listAny.asInstanceOf[Int],
-        throw new IllegalArgumentException(
-          s"adc_distance: no LUT for list_id=$listAny (un-probed list reached the scan)"))
+      val li = listAny.asInstanceOf[Int]
+      val lut = if (li >= 0 && li < lutTable.length && lutTable(li) != null)
+        lutTable(li) else lutMissing(li)
       require(code.numElements() == lut.length,
         s"adc_distance: code has ${code.numElements()} sub-codes, LUT has ${lut.length}")
       var d = 0.0; var j = 0
       val m = lut.length
       while (j < m) { d += lut(j)(code.getInt(j)); j += 1 }
       d
+    }
+
+    // generated: the broadcast resolves in the class init (once per task,
+    // executor-side), the per-row path is two array indexes + an m-step loop —
+    // the IVFPQ scan stays inside whole-stage codegen (ds/PQ.java:303-317's
+    // tight loop, compiled)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("adcLuts", luts,
+        classOf[Broadcast[Map[Int, Array[Array[Double]]]]].getName)
+      val table = ctx.addMutableState("double[][][]", "adcLutTable",
+        v => s"$v = graft.functions.PqExpressions.buildLutTable($bcRef);")
+      nullSafeCodeGen(ctx, ev, (code, li) => {
+        val lut = ctx.freshName("lut"); val j = ctx.freshName("j")
+        val d = ctx.freshName("d"); val m = ctx.freshName("m")
+        s"""
+           |if ($li < 0 || $li >= $table.length || $table[$li] == null) {
+           |  graft.functions.PqExpressions.lutMissing($li);
+           |}
+           |final double[][] $lut = $table[$li];
+           |final int $m = $lut.length;
+           |if ($code.numElements() != $m) {
+           |  throw new IllegalArgumentException("adc_distance: code has " +
+           |    $code.numElements() + " sub-codes, LUT has " + $m);
+           |}
+           |double $d = 0.0;
+           |for (int $j = 0; $j < $m; $j++) {
+           |  $d += $lut[$j][$code.getInt($j)];
+           |}
+           |${ev.value} = $d;
+         """.stripMargin
+      })
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =

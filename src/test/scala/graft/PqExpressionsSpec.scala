@@ -77,6 +77,32 @@ class PqExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("adc_distance generated path (parquet-backed scan, whole-stage " +
+    "codegen) matches the interpreted kernel") {
+    val q = randVec()
+    val luts = coarse.indices.map { li =>
+      li -> Kernels.adcLookupTable(Kernels.residual(q, coarse(li)), pq)
+    }.toMap
+    val rows = (0 until 25).map { i =>
+      val v = randVec()
+      val li = Kernels.nearestCentroid(v, coarse)
+      (i.toLong, Kernels.pqEncode(Kernels.residual(v, coarse(li)), pq), li)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_adc").resolve("t").toString
+    rows.toDF("id", "pq_code", "list_id").write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+      .withColumn("d", PqExpressions.adc_distance(col("pq_code"), col("list_id"),
+        spark.sparkContext.broadcast(luts)))
+    // local relations constant-fold through the interpreted path; a parquet
+    // scan goes through WholeStageCodegen → doGenCode
+    assert(scan.queryExecution.executedPlan.toString.contains("*("))
+    val got = scan.select("id", "d").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, code, li) =>
+      assert(got(id) == Kernels.adcDistance(code, luts(li)), s"row $id")
+    }
+  }
+
   test("adc_distance fails loudly on an un-probed list and on a code/LUT " +
     "sub-vector mismatch") {
     val lut = Kernels.adcLookupTable(randVec(), pq)
