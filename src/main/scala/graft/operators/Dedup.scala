@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for large-scale training-data curation, each a
@@ -32,10 +33,36 @@ object Dedup {
     banded.join(ok, keys, "left_semi")
   }
 
-  /** Exact dedup groups: content key → representative id + duplicate count. */
+  /** Run `build` with `stage` persisted, then materialize the (small) pair
+    * output and release the stage. The candidate-generation operators read
+    * their signature stage 3–6× (capBuckets count + probe, the pair self-join's
+    * two sides, the verify join-backs) — without a persist each pass re-runs
+    * the CPU-heavy shingle/signature computation over the full corpus, which
+    * at 100 TB multiplies the whole job's scan cost. The returned pairs are
+    * eagerly localCheckpoint'ed (tiny vs the corpus) so the caller's laziness
+    * can't resurrect the un-persisted lineage, and downstream iteration
+    * (connected components) starts from materialized blocks. */
+  private[graft] def withPersistedStage(stage: DataFrame)
+                                       (build: DataFrame => DataFrame): DataFrame = {
+    val cached = stage.persist(StorageLevel.MEMORY_AND_DISK)
+    try build(cached).localCheckpoint(true)
+    finally { cached.unpersist(blocking = false); () }
+  }
+
+  /** Exact dedup groups: content key → representative id + duplicate count.
+    *
+    * Groups by a map-side content fingerprint — (xxhash64, sha2-256) — so the
+    * shuffle carries (40-byte fingerprint, id), never the document bytes: a
+    * groupBy on the raw text column would move the whole corpus through the
+    * exchange twice at 100 TB. Two independent hash families make the
+    * fingerprint its own within-group equality verification: a false merge
+    * needs a simultaneous 64-bit AND 256-bit collision on different texts
+    * (probability ≈ 2⁻³²⁰ · pairs — below any hardware error rate). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"),
+        sha2(col(textCol), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("content_hash", "keep_id", "n_dups")
 
   /** Exact-dedup filter: keep one row (min id) per distinct content. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -53,39 +80,41 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df
+    val sigStage = df
       .select(col(idCol),
         graft.functions.TextExpressions.word_shingles(col(textCol), shingleN,
           distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", TextOps.minhashSignature(col("sh"), numHashes))
-    // band hash = xxhash64 over the band's signature slice
-    val banded = withSig
-      .select(col(idCol), col("sh"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              _.cast("string")))))).as(Seq("band", "bucket")))
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    // candidate pairs as IDS ONLY — the (largish) shingle arrays are joined
-    // back once per surviving pair, instead of riding through the bucket
-    // self-join and the dedup shuffle
-    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    val base = withSig.select(col(idCol), col("sh"))
-    candidates
-      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    withPersistedStage(sigStage) { withSig =>
+      // band hash = xxhash64 over the band's signature slice
+      val banded = withSig
+        .select(col(idCol), col("sh"),
+          posexplode(transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                _.cast("string")))))).as(Seq("band", "bucket")))
+      val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+      // candidate pairs as IDS ONLY — the (largish) shingle arrays are joined
+      // back once per surviving pair, instead of riding through the bucket
+      // self-join and the dedup shuffle
+      val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+      val candidates = a.join(b, Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+      val base = withSig.select(col(idCol), col("sh"))
+      candidates
+        .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .where(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   /** SimHash per document (row-local). */
@@ -103,21 +132,22 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < chunks, "banding guarantee needs maxHamming < chunks")
     val bitsPer = 64 / chunks
-    val sims = simhashTable(df, idCol, textCol)
-    val banded = sims.select(col(idCol), col("simhash"),
-      posexplode(transform(
-        sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftright", col("simhash"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
-    val capped = capBuckets(banded, Seq("chunk", "key"), maxBucket)
-    val a = capped.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = capped.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk", "key"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", TextOps.hamming64(col("sh_a"), col("sh_b")))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    withPersistedStage(simhashTable(df, idCol, textCol)) { sims =>
+      val banded = sims.select(col(idCol), col("simhash"),
+        posexplode(transform(
+          sequence(lit(0), lit(chunks - 1)),
+          c => call_function("shiftright", col("simhash"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
+      val capped = capBuckets(banded, Seq("chunk", "key"), maxBucket)
+      val a = capped.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      val b = capped.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      a.join(b, Seq("chunk", "key"))
+        .where(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", TextOps.hamming64(col("sh_a"), col("sh_b")))
+        .where(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+    }
   }
 
   /**
@@ -197,24 +227,26 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 10000): DataFrame = {
-    val base = df.select(col(idCol),
+    val shingled = df.select(col(idCol),
       graft.functions.TextExpressions.word_shingles(col(textCol), shingleN,
         distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
-    val inv = capBuckets(
-      base.select(col(idCol), explode(col("sh")).as("shingle")),
-      Seq("shingle"), maxShingleDf)
-    val pairs = inv.as("x").join(inv.as("y"), col("x.shingle") === col("y.shingle"))
-      .where(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    withPersistedStage(shingled) { base =>
+      val inv = capBuckets(
+        base.select(col(idCol), explode(col("sh")).as("shingle")),
+        Seq("shingle"), maxShingleDf)
+      val pairs = inv.as("x").join(inv.as("y"), col("x.shingle") === col("y.shingle"))
+        .where(col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      pairs
+        .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .where(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 }

@@ -78,22 +78,17 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Assign each row its nearest coarse-centroid list id (broadcast centroids,
-    * row-local argmin — the IVF partitioning key). */
+  /** Assign each row its nearest coarse-centroid list id (the IVF
+    * partitioning key, ds/IVFPQ.java:100–106). The centroid matrix rides in a
+    * Spark broadcast inside a native codegen'd expression
+    * ([[graft.functions.CentroidExpressions.NearestCentroid]]) — O(1) plan
+    * nodes and a compiled scan loop at any k_c, vs the ~k_c·d literal nodes a
+    * per-centroid `struct(aggregate(zip_with(...)))` formulation would pin
+    * into the plan (un-compilable at the reference k_c=8192, d=1024). */
   def withListId(df: DataFrame, vecCol: String,
-                 centroids: Array[Array[Double]], listCol: String = "list_id"): Column = {
-    // argmin over centroids of squared L2, expressed with built-ins:
-    // array of struct(dist, idx) → array_min picks min dist, ties → lower idx.
-    val scored = array(centroids.indices.map { i =>
-      val cLit = array(centroids(i).map(lit): _*)
-      struct(
-        aggregate(zip_with(col(vecCol), cLit,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v).as("dist"),
-        lit(i).as("idx"))
-    }: _*)
-    array_min(scored).getField("idx")
-  }
+                 centroids: Array[Array[Double]], listCol: String = "list_id"): Column =
+    graft.functions.CentroidExpressions.nearest_centroid(col(vecCol),
+      df.sparkSession.sparkContext.broadcast(centroids))
 
   /**
    * IVF ANN top-k: corpus carries a `list_id` (ideally its partition column →
@@ -104,21 +99,15 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpusWithList: DataFrame,
               idCol: String, vecCol: String,
               centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
-    val probeLists = {
-      // nprobe nearest centroids per query, via the same struct-min trick n times
-      val scored = array(centroids.indices.map { i =>
-        val cLit = array(centroids(i).map(lit): _*)
-        struct(
-          aggregate(zip_with(col("qv"), cLit,
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v).as("dist"),
-          lit(i).as("idx"))
-      }: _*)
-      slice(array_sort(scored), 1, nprobe)
-    }
+    // nprobe nearest centroids per query — the probe-list selection
+    // (ds/IVFPQ.java:408–420) as a native broadcast-centroid expression
+    // ordered (distance asc, index asc), same result as sorting per-centroid
+    // distance structs but with O(1) plan nodes at any k_c.
+    val probeLists = graft.functions.CentroidExpressions.k_nearest_centroids(
+      col("qv"), nprobe, queries.sparkSession.sparkContext.broadcast(centroids))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-        .withColumn("probe", explode(transform(probeLists, s => s.getField("idx")))))
+        .withColumn("probe", explode(probeLists)))
     val c = corpusWithList.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col("list_id"))
     val scored = q.join(c, col("probe") === col("list_id") &&
@@ -176,23 +165,28 @@ object Similarity {
                             bits: Int = 32, chunks: Int = 4,
                             seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val bitsPer = bits / chunks
-    val hashed = df.select(col(idCol), col(vecCol).as("v"),
+    val hashStage = df.select(col(idCol), col(vecCol).as("v"),
       hyperplaneHash(col(vecCol), dim, bits, seed).as("hh"))
-    val banded0 = hashed.select(col(idCol), col("v"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftright", col("hh"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
-    // quadratic-hot-bucket guard (see Dedup.capBuckets rationale)
-    val ok = banded0.groupBy(col("chunk"), col("key")).count()
-      .where(col("count") <= maxBucket).drop("count")
-    val banded = banded0.join(ok, Seq("chunk", "key"), "left_semi")
-    val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("chunk", "key"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
-      .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    // the O(bits·dim)-per-row hash stage is read by the bucket-count guard,
+    // its semi-join probe, and both sides of the pair join — persist it once
+    // (Dedup.withPersistedStage rationale)
+    graft.operators.Dedup.withPersistedStage(hashStage) { hashed =>
+      val banded0 = hashed.select(col(idCol), col("v"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => call_function("shiftright", col("hh"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
+      // quadratic-hot-bucket guard (see Dedup.capBuckets rationale)
+      val ok = banded0.groupBy(col("chunk"), col("key")).count()
+        .where(col("count") <= maxBucket).drop("count")
+      val banded = banded0.join(ok, Seq("chunk", "key"), "left_semi")
+      val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("v").as("v_a"))
+      val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("v").as("v_b"))
+      a.join(b, Seq("chunk", "key"))
+        .where(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+        .where(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
   }
 }

@@ -39,6 +39,48 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.size == 70) // 60 base + 10 near-dupes (distinct text)
   }
 
+  test("exactGroups shuffles fingerprints, not document bytes: no text " +
+    "column in any exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_eg").resolve("d").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.exactGroups(spark.read.parquet(dir), "doc_id", "text")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected a shuffle in the grouped plan")
+      exchanges.foreach { e =>
+        assert(!e.output.map(_.name).exists(_.contains("text")),
+          s"text column rides the exchange: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("LSH operators evaluate the expensive signature stage ONCE per row " +
+    "(persisted stage, no recompute multiplier)") {
+    // a non-deterministic counting probe cannot be collapsed/duplicated by
+    // Catalyst, so every physical evaluation of the text column ticks once
+    val countingText = udf { s: String =>
+      DedupSpec.textEvals.incrementAndGet(); s
+    }.asNondeterministic()
+    val probed = docs.select(col("doc_id"), countingText(col("text")).as("text"))
+    val n = docs.count()
+    for ((name, run) <- Seq[(String, org.apache.spark.sql.DataFrame => Unit)](
+      ("minhashLshPairs", d => Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8).count()),
+      ("simhashPairs", d => Dedup.simhashPairs(d, "doc_id", "text").count()),
+      ("ngramJaccardPairs", d => Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleN = 3, threshold = 0.8).count()))) {
+      DedupSpec.textEvals.set(0L)
+      run(probed)
+      val evals = DedupSpec.textEvals.get()
+      assert(evals == n, s"$name evaluated the text stage $evals times for $n rows")
+    }
+  }
+
   test("ngramJaccardPairs: exact pairs, symmetric-free (a<b), correct Jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       shingleN = 3, threshold = 0.8)
@@ -131,4 +173,10 @@ class DedupSpec extends AnyFunSuite {
     // non-dupe pairs share ONLY the capped stop-shingle → none reported
     assert(capped.size == 5, s"got $capped")
   }
+}
+
+object DedupSpec {
+  /** Ticks once per physical evaluation of the probed text column (local-mode
+    * executors share the test JVM). */
+  val textEvals = new java.util.concurrent.atomic.AtomicLong()
 }
