@@ -192,6 +192,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Offset+limit page (T7 skip, exm/FeatureExtraction.java:96–98): rows
+    // 11–30 of the global ordering — plans as a single ordered-limit of
+    // offset+limit rows, then a drop of the first `offset` on the driver.
+    "q_topk_offset" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .offset(10).limit(20)
+    }),
+
     // Per-group top-k via ranked window.
     "q_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -500,6 +510,11 @@ object SparkEntry {
     "q_topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q_topk_offset" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20 OFFSET 10""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, rk, ROUND(o_totalprice, 6) AS price FROM (

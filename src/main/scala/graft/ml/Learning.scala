@@ -266,7 +266,7 @@ object Learning {
       var sweep = 0
       while (sweep < sweeps) {
         q = covTimes(q)
-        orthonormalizeColumns(q)
+        orthonormalizeColumns(q, reseedTag = sweep + 1L)
         sweep += 1
       }
 
@@ -294,22 +294,45 @@ object Learning {
     } finally { rdd.unpersist(); () }
   }
 
-  /** In-place modified Gram-Schmidt over `cols` (each an Array[Double]). */
-  private def orthonormalizeColumns(cols: Array[Array[Double]]): Unit = {
+  /** In-place modified Gram-Schmidt over `cols` (each an Array[Double]).
+    *
+    * A degenerate column (norm ~0) is NOT an error: when the data rank is
+    * below b = numComponents + oversample, one Cov·Q multiply collapses every
+    * column into the rank-r data span and the trailing columns cancel to zero
+    * under MGS. Such a column is re-seeded with a fresh deterministic random
+    * vector and re-orthogonalized against the kept columns — the extra
+    * directions carry ~0 Rayleigh weight, so the Ritz step still returns the
+    * true top components (parity with the exact eigSym path on rank-deficient
+    * input is asserted in LearningSpec). */
+  private def orthonormalizeColumns(cols: Array[Array[Double]],
+                                    reseedTag: Long = 0L): Unit = {
     val b = cols.length
     var j = 0
     while (j < b) {
-      val cj = cols(j)
-      var k2 = 0
-      while (k2 < j) {
-        val ck = cols(k2)
-        val p = Kernels.dot(cj, ck)
-        var i = 0; while (i < cj.length) { cj(i) -= p * ck(i); i += 1 }
-        k2 += 1
+      var cj = cols(j)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        var k2 = 0
+        while (k2 < j) {
+          val ck = cols(k2)
+          val p = Kernels.dot(cj, ck)
+          var i = 0; while (i < cj.length) { cj(i) -= p * ck(i); i += 1 }
+          k2 += 1
+        }
+        val nrm = Kernels.l2Norm(cj)
+        if (nrm > 1e-12) {
+          var i = 0; while (i < cj.length) { cj(i) /= nrm; i += 1 }
+          done = true
+        } else {
+          attempt += 1
+          require(attempt <= 8, s"column $j degenerate after $attempt re-seeds")
+          // deterministic re-seed: (tag, column, attempt)-keyed Gaussian
+          val rnd = new java.util.Random(reseedTag * 1000003L + j * 97L + attempt)
+          cj = Array.fill(cj.length)(rnd.nextGaussian())
+          cols(j) = cj
+        }
       }
-      val nrm = Kernels.l2Norm(cj)
-      require(nrm > 1e-12, s"degenerate subspace column $j")
-      var i = 0; while (i < cj.length) { cj(i) /= nrm; i += 1 }
       j += 1
     }
   }

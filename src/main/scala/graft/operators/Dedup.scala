@@ -188,8 +188,86 @@ object Dedup {
         labels = next.select("id", "label")
         iter += 1
       }
-      labels.select(col("id"), col("label").as("group_id"))
+      if (!converged) {
+        // a component deeper than maxIter sweeps — emitting the partial labels
+        // would silently split groups and corrupt a dedup keep-set. Hand the
+        // adversarial graph to the O(log n)-round contraction instead.
+        System.err.println(s"[graft] connectedComponents: not converged after " +
+          s"$maxIter label-propagation sweeps; falling back to " +
+          "large-star/small-star contraction")
+        connectedComponentsStar(pairs)
+      } else labels.select(col("id"), col("label").as("group_id"))
     } finally { edges.unpersist(); () }
+  }
+
+  /**
+   * Connected components by alternating large-star/small-star contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+   * scale insurance for adversarially deep components, where min-label
+   * propagation's O(diameter) sweeps degenerate. Each round is two
+   * groupBy-min + join passes over the current edge set; components contract
+   * to min-rooted stars in O(log n) rounds regardless of diameter.
+   *
+   *  - large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u});
+   *  - small-star: edges point at their larger endpoint; every smaller
+   *    neighbor (and u itself) links to the minimum.
+   *
+   * Convergence = edge set reaches a fixed point (count + order-insensitive
+   * XOR of per-edge xxhash64 — ANSI-safe, no sum overflow; a false stop would
+   * need two distinct edge sets with equal count AND equal 64-bit fold in the
+   * same job). Fails loudly after `maxRounds` instead of returning split
+   * groups.
+   * Input/output contract identical to [[connectedComponents]].
+   */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      nbrs.join(mins, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = directed.groupBy("src").agg(min("dst").as("m"))
+      directed.join(mins, "src")
+        .select(col("dst").as("v"), col("m"))
+        .unionByName(mins.select(col("src").as("v"), col("m")))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      // localCheckpoint per round: lineage doubles per sweep otherwise (see
+      // connectedComponents)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      edges = next; sig = nextSig
+      round += 1
+    }
+    require(stable,
+      s"connectedComponentsStar: not converged after $maxRounds rounds")
+    // fixed point = min-rooted stars: every src points at its component min
+    edges.select(col("src").as("id"), col("dst").as("group_id"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("group_id")))
+      .groupBy("id").agg(min("group_id").as("group_id"))
   }
 
   /** Curation materialization: drop every row whose id belongs to a group but

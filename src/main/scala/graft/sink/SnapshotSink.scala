@@ -182,7 +182,16 @@ object SnapshotSink {
     try {
       val futures = items.map(a => pool.submit(
         new java.util.concurrent.Callable[B] { override def call(): B = f(a) }))
-      futures.map(_.get())
+      try futures.map(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          // first failure wins: cancel everything still queued/running so no
+          // further moves mutate the table dir after the commit has failed,
+          // and surface the real cause (not the ExecutionException wrapper)
+          futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally { pool.shutdown(); () }
   }
 

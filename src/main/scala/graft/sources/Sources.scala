@@ -56,18 +56,29 @@ object Sources {
   }
 
   /** K4: key↔value map dump (the reference's id↔iid BDB map exports,
-    * ds/AbstractSearchStructure.java id maps) as `key,value` CSV lines. */
+    * ds/AbstractSearchStructure.java id maps) as `key,value` CSV lines.
+    * The KEY is percent-encoded (%, comma, CR/LF) so a delimiter inside an
+    * image id / filename round-trips; the value is safe as-is because the
+    * reader splits on the FIRST comma only. */
   def writeMapCsv(df: DataFrame, keyCol: String, valueCol: String,
                   outDir: String, gzip: Boolean = false): Unit = {
-    val lines = df.select(concat_ws(",",
-      col(keyCol).cast("string"), col(valueCol).cast("string")).as("value"))
+    val k = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      col(keyCol).cast("string"),
+      lit("%"), lit("%25")), lit(","), lit("%2C")),
+      lit("\r"), lit("%0D")), lit("\n"), lit("%0A"))
+    val lines = df.select(concat_ws(",", k, col(valueCol).cast("string")).as("value"))
     val writer = lines.write.mode("overwrite")
     (if (gzip) writer.option("compression", "gzip") else writer).text(outDir)
   }
 
-  /** Read a K4 map dump back: (key, value) strings. */
+  /** Read a K4 map dump back: (key, value) strings (key percent-decoded). */
   def readMapCsv(spark: SparkSession, dir: String): DataFrame =
     spark.read.text(dir)
       .select(split(col("value"), ",", 2).as("parts"))
-      .select(col("parts").getItem(0).as("key"), col("parts").getItem(1).as("value"))
+      .select(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("parts").getItem(0),
+          lit("%0A"), lit("\n")), lit("%0D"), lit("\r")),
+          lit("%2C"), lit(",")), lit("%25"), lit("%")).as("key"),
+        col("parts").getItem(1).as("value"))
 }

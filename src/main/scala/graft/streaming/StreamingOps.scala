@@ -37,6 +37,20 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming as-of model binding (the J4 twin): each in-flight event binds
+    * the latest version row with `valid_from <= ts` for its key — the exact
+    * batch semantics of Temporal.asOfJoin, reused verbatim. The version side
+    * is STATIC (a model/dimension table), so the interval formulation is
+    * directly stream-compatible: validity windows are computed once on the
+    * static side and the stream-static inner join needs no watermark or
+    * stream-side state. Batch parity is asserted in StreamingSpec. */
+  def asOfBind(events: DataFrame, versions: DataFrame,
+               leftTs: String, rightTs: String,
+               keys: Seq[String] = Seq.empty,
+               lookback: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    graft.temporal.Temporal.asOfJoin(events, versions, leftTs, rightTs, keys,
+      joinType = "inner", lookback = lookback)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionUpdate(user_id: Long, session_seq: Long, n_events: Long,
                                  start_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

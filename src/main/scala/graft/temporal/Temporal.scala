@@ -85,9 +85,18 @@ object Temporal {
    * event time, and a single merge pass carries the latest version whose
    * `valid_from <= ts` forward. Semantically identical to [[asOfJoin]] with
    * `joinType="left"` restricted to (key, ts) columns + the bound version —
-   * asserted in TemporalSpec. Use when the version side is too large to
-   * window-join (per-entity version histories at image-table scale); the
-   * interval formulation remains the Catalyst-friendly default.
+   * asserted in TemporalSpec.
+   *
+   * CONTRACT — this is the demonstration of the merge formulation, not the
+   * general operator: the payload is pinned to (String key, Long leftId,
+   * Int version) and the inputs are projected/cast to exactly those columns.
+   * Reach for [[asOfJoin]] for arbitrary schemas, extra payload columns,
+   * lookback bounds, or join types — it plans the same single-shuffle shape
+   * through Catalyst and is the supported API. This variant exists for the
+   * regime where the PER-KEY version history is itself large (the window in
+   * [[asOfJoin]] shuffles the version side; here both sides stream through
+   * one merge pass per key) — at that point, bind the id column and join the
+   * full payload back by (key, version).
    *
    * left: (key, ts, leftId); right: (key, valid_from, version).
    * Returns (key, leftId, ts, version: null when no version is valid yet).

@@ -137,6 +137,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 12)
   }
 
+  test("connectedComponentsStar: adversarial 1000-node chain converges in " +
+    "≤ ~2·log₂(n) contraction rounds (diameter-free), correct groups") {
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // maxRounds = 24 ≈ 2·log₂(1000) + slack: require() inside fails the test
+    // if contraction needs more
+    val got = Dedup.connectedComponentsStar(chain, maxRounds = 24)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 1000)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponentsStar: multiple components, cycles, isolated pairs") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 12)
+  }
+
+  test("connectedComponents falls back to star contraction (never silently " +
+    "splits groups) when a component outlives maxIter propagation sweeps") {
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // diameter 60 ≫ maxIter=3 — partial labels would split the chain
+    val got = Dedup.connectedComponents(chain, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 61)
+    assert(got.values.forall(_ == 0L), "fallback must produce whole components")
+  }
+
   test("nearDupGroups clusters the injected dupes with their sources") {
     val groups = Dedup.nearDupGroups(docs, "doc_id", "text",
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)

@@ -110,6 +110,31 @@ class LearningSpec extends AnyFunSuite {
       assert(math.abs(math.abs(Kernels.dot(a, b)) - 1.0) < 1e-6, "component alignment") }
   }
 
+  test("learnPcaDistributed on rank-deficient input (rank < numComponents + " +
+    "oversample) re-seeds degenerate subspace columns instead of failing") {
+    // rank-2 data, zero noise: after one Cov·Q multiply all b=10 columns
+    // collapse into the 2-dim span — MGS re-seeds the dead columns
+    val rnd2 = new scala.util.Random(23)
+    val d = 40
+    val dirs = Array(
+      Kernels.normalizeL2(Array.tabulate(d)(i => math.cos(i * 0.7) + 0.3)),
+      Kernels.normalizeL2(Array.tabulate(d)(i => math.sin(i * 0.31))))
+    val data = (0 until 120).map { _ =>
+      val c0 = 20.0 * rnd2.nextGaussian(); val c1 = 5.0 * rnd2.nextGaussian()
+      val v = new Array[Double](d)
+      var i = 0; while (i < d) { v(i) = c0 * dirs(0)(i) + c1 * dirs(1)(i); i += 1 }
+      v.toSeq
+    }
+    val df = data.toDF("vec")
+    val (mE, eigE, vE) = Learning.learnPca(df, 2) // exact path handles low rank
+    val (mD, eigD, vD) = Learning.learnPcaDistributed(df, 2)
+    mE.zip(mD).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    eigE.zip(eigD).foreach { case (a, b) =>
+      assert(math.abs(a - b) / math.max(a, 1e-12) < 1e-6, s"eigenvalue $a vs $b") }
+    vE.zip(vD).foreach { case (a, b) =>
+      assert(math.abs(math.abs(Kernels.dot(a, b)) - 1.0) < 1e-6, "component alignment") }
+  }
+
   test("learnPca at reference dimensionality (d=32768) runs in O(d·r) state " +
     "— an O(d²) task would need ~8.6 GB and OOM this JVM") {
     val rnd2 = new scala.util.Random(5)

@@ -57,14 +57,16 @@ class SourcesSpec extends AnyFunSuite {
   test("writeMapCsv/readMapCsv: key↔value dump round-trip (K4)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_map").resolve("m").toString
-    val df = Seq(("img_1", 0L), ("img_2", 1L), ("a,b", 2L)).toDF("image_id", "iid")
+    val df = Seq(("img_1", 0L), ("img_2", 1L), ("a,b", 2L), ("50%,x", 3L))
+      .toDF("image_id", "iid")
     graft.sources.Sources.writeMapCsv(df, "image_id", "iid", out)
     val back = graft.sources.Sources.readMapCsv(spark, out)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    // keys containing the separator survive via the 2-limit split... the key
-    // "a,b" does NOT — document the CSV-naive contract like the reference's
+    // keys containing the separator (or the escape glyph itself) round-trip
+    // via percent-encoding; values are covered by the first-comma split
     assert(back("img_1") == "0" && back("img_2") == "1")
-    assert(back.size == 3)
+    assert(back("a,b") == "2" && back("50%,x") == "3")
+    assert(back.size == 4)
   }
 
   test("double→float cast preserves vector values to float precision (P23)") {

@@ -61,6 +61,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerSession == Map(1L -> 3L, 2L -> 3L, 3L -> 1L), s"got $rows")
   }
 
+  test("streaming asOfBind == batch Temporal.asOfJoin on the same data " +
+    "(stream-static interval join, no state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static version table: user 1 has versions at minutes 0 and 20; user 2 at 5
+    val versions = Seq((1L, ts(0), 100), (1L, ts(20), 101), (2L, ts(5), 200))
+      .toDF("user_id", "valid_from", "version")
+    val data = Seq(
+      (1L, ts(1), 10L), (1L, ts(19), 11L), (1L, ts(20), 12L), (1L, ts(45), 13L),
+      (2L, ts(4), 20L), // before user 2's first version → dropped (inner)
+      (2L, ts(6), 21L))
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val events = input.toDF().toDF("user_id", "ts", "event_id")
+    val bound = StreamingOps.asOfBind(events, versions, "ts", "valid_from",
+      keys = Seq("user_id"))
+      .select("event_id", "version")
+    val q = bound.writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    input.addData(data.take(3): _*)
+    q.processAllAvailable()
+    input.addData(data.drop(3): _*) // late batch binds against the same statics
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asof_out").as[(Long, Int)].collect().toSet
+    val want = graft.temporal.Temporal.asOfJoin(
+      data.toDF("user_id", "ts", "event_id"), versions, "ts", "valid_from",
+      keys = Seq("user_id"))
+      .select("event_id", "version").as[(Long, Int)].collect().toSet
+    assert(got == want)
+    assert(got == Set((10L, 100), (11L, 100), (12L, 101), (13L, 101), (21L, 200)))
+  }
+
   test("streaming dedupByKey drops duplicate keys within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

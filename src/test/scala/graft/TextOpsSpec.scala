@@ -41,6 +41,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2) == 5) // don,',t,stop,!
   }
 
+  test("tokenCountBpe counts a non-BMP glyph (emoji) as ONE token — Java " +
+    "regex classes are code-point aware, matching the RE2 oracle") {
+    // "hi 😀 ok 🚀🚀 x" — verified empirically: DuckDB regexp_extract_all
+    // returns 6 for the same pattern (1 per emoji, not 1 per surrogate)
+    val s = "hi " + new String(Character.toChars(0x1F600)) + " ok " +
+      new String(Character.toChars(0x1F680)) * 2 + " x"
+    val got = Seq(s).toDF("text").select(TextOps.tokenCountBpe(col("text")))
+      .as[Int].head()
+    assert(got == 6, s"expected 6 code-point tokens, got $got")
+  }
+
   test("shingles: n-grams as space-joined strings; short docs → empty") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(TextOps.shingles(TextOps.tokens(col("text")), 3))
