@@ -33,8 +33,8 @@ object Bench {
     "q_backfill", "q_sessionize", "q_window_agg", "q_topk_per_group",
     "q_token_count", "q_token_count_bpe", "q_quality_score",
     "q_dedup_exact", "q_dedup_groups", "q_minhash_lsh", "q_simhash",
-    "q_ngram_jaccard", "q_embed_knn", "q_embed_ivf", "q_embed_neardup",
-    "q_ann_recall")
+    "q_ngram_jaccard", "q_embed_knn", "q_embed_ivf", "q_embed_ivfpq",
+    "q_embed_neardup", "q_ann_recall")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -352,6 +352,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVFADC over the embeddings table — the reference's flagship search
+    // structure (coarse quantize → PQ-encode residuals → probed ADC scan,
+    // ds/IVFPQ.java:100–117, 408–450) end-to-end on embeddings. Deterministic
+    // models minted from the corpus head (centroids = first 8 vectors; PQ
+    // sub-centroids = sub-blocks of the first 16). Rows-only: ADC parity vs
+    // the scalar kernels is the SimilaritySpec gate.
+    "q_embed_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val head = emb.where(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centroids = head.take(8)
+      val dim = head(0).length
+      val m = 8; val kS = 16; val subLen = dim / m
+      val pq = graft.kernels.Kernels.PqModel(Array.tabulate(m)(j =>
+        Array.tabulate(kS)(i =>
+          java.util.Arrays.copyOfRange(head(i), j * subLen, (j + 1) * subLen))))
+      // index build once (materialized — three searches scan it, the way a
+      // snapshot-backed index is written once and probed many times)
+      val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", centroids, pq)
+        .localCheckpoint(true)
+      (0 until 3).map { qi =>
+        Similarity.ivfPqSearch(enc, "vec_id", head(qi), centroids, pq,
+          k = 10, nprobe = 4)
+          .withColumn("query_id", lit(qi.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("neighbor_id"), col("list_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    }),
+
     // Exact-vs-approx recall diagnostic (J5, exm/Example.java:155–182): the
     // per-query overlap of Linear vs IVF top-k — makes ANN quality a
     // driver-visible number (rows-only; threshold asserted in SimilaritySpec).

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /**
@@ -110,4 +111,69 @@ object PqExpressions {
                    luts: Broadcast[Map[Int, Array[Array[Double]]]]): Column =
     GraftBridge.column(AdcDistance(
       GraftBridge.expression(code), GraftBridge.expression(listId), luts))
+
+  /** Scalar kernel for [[IvfPqEncode]] — one fused pass: coarse-assign, form
+    * the residual (centroid − v, IVFPQ.java:642–648), PQ-encode it
+    * (PQ.java:232–268). Called from interpreted eval AND generated code. */
+  def ivfPqEncodeEval(centroids: Array[Array[Double]],
+                      pq: graft.kernels.Kernels.PqModel,
+                      vec: ArrayData, isFloat: Boolean): InternalRow = {
+    val d = vec.numElements()
+    val v = new Array[Double](d)
+    if (isFloat) { var i = 0; while (i < d) { v(i) = vec.getFloat(i); i += 1 } }
+    else { var i = 0; while (i < d) { v(i) = vec.getDouble(i); i += 1 } }
+    if (centroids(0).length != d) throw new IllegalArgumentException(
+      s"ivf_pq_encode: vector has $d dims, coarse centroids have ${centroids(0).length}")
+    val li = graft.kernels.Kernels.nearestCentroid(v, centroids)
+    val code = graft.kernels.Kernels.pqEncode(
+      graft.kernels.Kernels.residual(v, centroids(li)), pq)
+    new GenericInternalRow(Array[Any](li, new GenericArrayData(code)))
+  }
+
+  /**
+   * IVFADC index-build expression (ds/IVFPQ.java:100–117): vector →
+   * struct(list_id, pq_code) in ONE compiled pass — the coarse scan is not
+   * repeated for the residual the way separate list-assignment and encode
+   * projections could be. Coarse centroids and the PQ model ride in
+   * broadcasts (O(1) plan nodes at the reference k_c=8192 / m=64 / k_s=256).
+   */
+  case class IvfPqEncode(child: Expression,
+                         centroids: Broadcast[Array[Array[Double]]],
+                         pq: Broadcast[graft.kernels.Kernels.PqModel])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("pq_code", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "ivf_pq_encode"
+
+    @transient private lazy val table: Array[Array[Double]] = centroids.value
+    @transient private lazy val model: graft.kernels.Kernels.PqModel = pq.value
+    @transient private lazy val isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(v: Any): Any =
+      ivfPqEncodeEval(table, model, v.asInstanceOf[ArrayData], isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("coarseBc", centroids,
+        classOf[Broadcast[Array[Array[Double]]]].getName)
+      val pRef = ctx.addReferenceObj("pqBc", pq,
+        classOf[Broadcast[graft.kernels.Kernels.PqModel]].getName)
+      val tbl = ctx.addMutableState("double[][]", "coarseTable",
+        v => s"$v = (double[][]) $cRef.value();")
+      val mdl = ctx.addMutableState("graft.kernels.Kernels.PqModel", "pqModel",
+        v => s"$v = (graft.kernels.Kernels.PqModel) $pRef.value();")
+      val fl = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.PqExpressions.ivfPqEncodeEval($tbl, $mdl, $v, $fl);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): IvfPqEncode =
+      copy(child = c)
+  }
+
+  def ivf_pq_encode(vec: Column, centroids: Broadcast[Array[Array[Double]]],
+                    pq: Broadcast[graft.kernels.Kernels.PqModel]): Column =
+    GraftBridge.column(IvfPqEncode(GraftBridge.expression(vec), centroids, pq))
 }

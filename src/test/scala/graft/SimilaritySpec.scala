@@ -131,6 +131,78 @@ class SimilaritySpec extends AnyFunSuite {
     (0L until 10L).foreach(i => assert(groups(i + 1000) == groups(i), s"dupe $i"))
   }
 
+  private lazy val pqSetup = {
+    val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
+    val m = 4; val kS = 8; val subLen = dim / m
+    val pq = Kernels.PqModel(Array.tabulate(m)(j =>
+      Array.tabulate(kS)(i =>
+        java.util.Arrays.copyOfRange(vecs(i)._2.map(_.toDouble), j * subLen,
+          (j + 1) * subLen))))
+    (centroids, pq)
+  }
+
+  test("ivfPqEncode matches the scalar kernels row-for-row (coarse assign, " +
+    "residual, PQ code — one fused expression)") {
+    val (centroids, pq) = pqSetup
+    val got = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", centroids, pq)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    vecs.foreach { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val li = Kernels.nearestCentroid(v, centroids)
+      val code = Kernels.pqEncode(Kernels.residual(v, centroids(li)), pq).toSeq
+      assert(got(id)._1 == li, s"row $id list")
+      assert(got(id)._2 == code, s"row $id code")
+    }
+  }
+
+  test("ivfPqSearch: only probed lists scanned; ADC distances and the top-k " +
+    "set equal the scalar IVFADC pipeline (ds/IVFPQ.java:408–450)") {
+    val (centroids, pq) = pqSetup
+    val enc = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", centroids, pq)
+    val qv = vecs(2)._2.map(_.toDouble)
+    val k = 10; val nprobe = 3
+    val got = Similarity.ivfPqSearch(enc, "vec_id", qv, centroids, pq, k, nprobe)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // scalar oracle: encode every vector, keep probed lists, rank by (adc, id)
+    val probed = Kernels.kNearestCentroids(qv, centroids, nprobe).toSet
+    val luts = probed.map(li => li ->
+      Kernels.adcLookupTable(Kernels.residual(qv, centroids(li)), pq)).toMap
+    val expect = vecs.map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val li = Kernels.nearestCentroid(v, centroids)
+      (id, li, if (probed(li))
+        Some(Kernels.adcDistance(Kernels.pqEncode(Kernels.residual(v, centroids(li)), pq),
+          luts(li))) else None)
+    }.collect { case (id, li, Some(d)) => (id, li, d) }
+      .sortBy { case (id, _, d) => (d, id) }.take(k)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((gid, gli, gd), (eid, eli, ed)) =>
+      assert(gid == eid && gli == eli, s"rank mismatch: got $gid expect $eid")
+      assert(gd == ed, s"adc $gd vs $ed")
+    }
+    got.foreach { case (_, li, _) => assert(probed(li), "un-probed list in result") }
+  }
+
+  test("IVFADC snapshot partitioned by list_id: probed search partition-" +
+    "prunes at planning time and matches the in-memory result") {
+    val (centroids, pq) = pqSetup
+    val enc = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", centroids, pq)
+    val table = java.nio.file.Files.createTempDirectory("graft_eivf")
+      .resolve("codes").toString
+    graft.sink.SnapshotSink.append(enc, table, "vec_id", Seq("list_id"))
+    val back = graft.sink.SnapshotSink.read(spark, table)
+    val qv = vecs(1)._2.map(_.toDouble)
+    val res = Similarity.ivfPqSearch(back, "vec_id", qv, centroids, pq, 10, 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("\\s", "").contains("list_id"),
+      s"expected list_id in PartitionFilters:\n${plan.take(800)}")
+    val mem = Similarity.ivfPqSearch(enc, "vec_id", qv, centroids, pq, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val disk = res.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(disk == mem)
+  }
+
   test("cosine column matches scalar kernel") {
     val df = Seq((vecs(0)._2, vecs(1)._2)).toDF("a", "b")
     val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
