@@ -31,7 +31,7 @@ object Bench {
   private val headline = Seq(
     "q_agg_pricing", "q_join_agg", "q_asof_join", "q_asof_tolerance",
     "q_backfill", "q_sessionize", "q_window_agg", "q_topk_per_group",
-    "q_token_count", "q_token_count_bpe", "q_quality_score",
+    "q_token_count", "q_token_count_bpe", "q_quality_score", "q_ngram_topk",
     "q_dedup_exact", "q_dedup_groups", "q_minhash_lsh", "q_simhash",
     "q_ngram_jaccard", "q_embed_knn", "q_embed_ivf", "q_embed_ivfpq",
     "q_embed_neardup", "q_ann_recall")

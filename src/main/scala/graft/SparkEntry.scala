@@ -113,6 +113,14 @@ object SparkEntry {
         .select("o_orderkey").orderBy("o_orderkey")
     }),
 
+    // Set difference (§2.8): resume = full input EXCEPT already-written keys
+    // (the F2 pattern as a set op — plans as a distinct left-anti).
+    "q_except" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"))
+        .except(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")))
+        .orderBy("o_orderkey")
+    }),
+
     // Point-in-time as-of join (J4 / north rule): each event binds the latest
     // order of the same customer with o_orderdate <= ts; version side is
     // deduped to one row per (key, ts) so validity intervals are unique.
@@ -246,6 +254,17 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus n-gram frequency top-k (training-data corpus analysis): explode
+    // 2-gram shingles → map-side partial count → final agg →
+    // TakeOrderedAndProject. The shuffle carries (ngram, partial count), not
+    // documents.
+    "q_ngram_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram")).limit(20)
     }),
 
     // Language-ID heuristic (no SQL oracle — verified by ScalaTest spec).
@@ -445,6 +464,11 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q_except" ->
+      """SELECT o_orderkey FROM orders
+        |EXCEPT SELECT l_orderkey AS o_orderkey FROM lineitem
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_asof_join" ->
       """WITH dedup AS (
         |  SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS o_orderkey
@@ -574,6 +598,18 @@ object SparkEntry {
         graft.operators.TextOps.bpeTokenPattern +
         """')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""").stripMargin,
+
+    "q_ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(TRIM(text), '\s+') AS toks
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0
+        |), grams AS (
+        |  SELECT unnest([array_to_string(toks[i:i+1], ' ')
+        |    for i in range(1, array_length(toks))]) AS ngram
+        |  FROM toks WHERE array_length(toks) >= 2
+        |)
+        |SELECT ngram, COUNT(*) AS n FROM grams
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
     "q_dedup_groups" ->
       """WITH RECURSIVE all_docs AS (
