@@ -392,11 +392,9 @@ object SparkEntry {
       // snapshot-backed index is written once and probed many times)
       val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", centroids, pq)
         .localCheckpoint(true)
-      (0 until 3).map { qi =>
-        Similarity.ivfPqSearch(enc, "vec_id", head(qi), centroids, pq,
-          k = 10, nprobe = 4)
-          .withColumn("query_id", lit(qi.toLong))
-      }.reduce(_ unionByName _)
+      Similarity.ivfPqSearchMany(enc, "vec_id",
+        (0 until 3).map(qi => (qi.toLong, head(qi))), centroids, pq,
+        k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("list_id"),
           round(col("adc_dist"), 6).as("adc_dist"))
         .orderBy("query_id", "adc_dist", "neighbor_id")

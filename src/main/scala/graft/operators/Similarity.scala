@@ -166,6 +166,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-query IVFADC: the reference searches query-at-a-time
+    * (ds/IVFPQ.java:408); this batches a BOUNDED query set (typical: a
+    * handful of probe vectors) as a union of per-query probed scans, each
+    * with its own probe lists + LUT broadcast. For corpus×corpus workloads
+    * use the LSH/near-dup operators instead — an unbounded query side must
+    * not drive a driver loop. Returns (query_id, neighbor_id, list_id,
+    * adc_dist). */
+  def ivfPqSearchMany(encoded: DataFrame, idCol: String,
+                      queries: Seq[(Long, Array[Double])],
+                      centroids: Array[Array[Double]],
+                      pq: graft.kernels.Kernels.PqModel,
+                      k: Int, nprobe: Int): DataFrame = {
+    require(queries.nonEmpty, "ivfPqSearchMany: empty query set")
+    queries.map { case (qid, qv) =>
+      ivfPqSearch(encoded, idCol, qv, centroids, pq, k, nprobe)
+        .withColumn("query_id", lit(qid))
+    }.reduce(_ unionByName _)
+      .select("query_id", "neighbor_id", "list_id", "adc_dist")
+  }
+
   /**
    * Exact-vs-approx recall diagnostic (J5, exm/Example.java:155–182: the
    * reference prints the overlap of linear vs IVFPQ result sets). Per query:

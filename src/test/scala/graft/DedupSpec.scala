@@ -190,6 +190,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(1L, 4L, 5L, 20L)))
   }
 
+  test("degenerate inputs: empty corpus and empty pair lists return empty " +
+    "results, no crashes (persisted-stage and contraction paths)") {
+    import org.apache.spark.sql.types._
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(Dedup.minhashLshPairs(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").isEmpty)
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    assert(Dedup.connectedComponents(emptyPairs).isEmpty)
+    assert(Dedup.connectedComponentsStar(emptyPairs).isEmpty)
+    // whitespace-only corpus: zero shingles everywhere → empty, not a crash
+    val blankDocs = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(blankDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.ngramJaccardPairs(blankDocs, "doc_id", "text").isEmpty)
+  }
+
   test("hot-shingle corpus: shingle-DF cap bounds the inverted-index join; " +
     "pairs sharing only the stop-shingle are dropped, real dupes survive") {
     // every doc carries the same stop-shingle; dupes also share unique content
