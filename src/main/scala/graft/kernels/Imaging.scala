@@ -46,13 +46,44 @@ object Imaging {
     img.map(toRaster)
   }
 
+  /** BufferedImage → packed raster. For the layouts ImageIO actually
+    * produces for JPEG/PNG (3BYTE_BGR, INT_RGB, INT_ARGB) the pixels are read
+    * straight from the backing DataBuffer — `getRGB` routes every pixel
+    * through ColorModel and was the single biggest cost in the decode stage.
+    * The byte/int packing below produces bit-identical values to `getRGB` for
+    * these sRGB layouts (asserted in ImagingSpec); anything else — notably
+    * TYPE_BYTE_GRAY, whose getRGB applies a linear-gray→sRGB conversion that
+    * must be preserved — falls back to the exact getRGB path. */
   def toRaster(img: BufferedImage): Raster = {
     val w = img.getWidth; val h = img.getHeight
-    val px = new Array[Int](w * h)
-    img.getRGB(0, 0, w, h, px, 0, w)
-    var i = 0
-    while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 } // drop alpha
-    Raster(w, h, px)
+    val n = w * h
+    img.getType match {
+      case BufferedImage.TYPE_3BYTE_BGR
+        if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] =>
+        val b = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val px = new Array[Int](n)
+        var i = 0; var j = 0
+        while (i < n) {
+          px(i) = ((b(j + 2) & 0xff) << 16) | ((b(j + 1) & 0xff) << 8) | (b(j) & 0xff)
+          i += 1; j += 3
+        }
+        Raster(w, h, px)
+      case BufferedImage.TYPE_INT_RGB | BufferedImage.TYPE_INT_ARGB
+        if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferInt] =>
+        val d = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        val px = new Array[Int](n)
+        var i = 0
+        while (i < n) { px(i) = d(i) & 0xffffff; i += 1 }
+        Raster(w, h, px)
+      case _ =>
+        val px = new Array[Int](n)
+        img.getRGB(0, 0, w, h, px, 0, w)
+        var i = 0
+        while (i < n) { px(i) = px(i) & 0xffffff; i += 1 } // drop alpha
+        Raster(w, h, px)
+    }
   }
 
   def toBufferedImage(r: Raster): BufferedImage = {
@@ -71,20 +102,31 @@ object Imaging {
     val out = new Array[Int](tw * th)
     val sx = r.w.toDouble / tw
     val sy = r.h.toDouble / th
+    // column geometry is row-invariant — hoist it (same arithmetic, same
+    // values; the per-pixel recompute was ~a third of the scaling stage)
+    val xs0 = new Array[Int](tw); val xs1 = new Array[Int](tw)
+    val wxs = new Array[Double](tw)
+    var x = 0
+    while (x < tw) {
+      val fx = (x + 0.5) * sx - 0.5
+      val x0 = math.max(0, math.min(r.w - 1, math.floor(fx).toInt))
+      xs0(x) = x0
+      xs1(x) = math.min(r.w - 1, x0 + 1)
+      wxs(x) = math.max(0.0, math.min(1.0, fx - x0))
+      x += 1
+    }
     var y = 0
     while (y < th) {
       val fy = (y + 0.5) * sy - 0.5
       val y0 = math.max(0, math.min(r.h - 1, math.floor(fy).toInt))
       val y1 = math.min(r.h - 1, y0 + 1)
       val wy = math.max(0.0, math.min(1.0, fy - y0))
-      var x = 0
+      val row0 = y0 * r.w; val row1 = y1 * r.w
+      x = 0
       while (x < tw) {
-        val fx = (x + 0.5) * sx - 0.5
-        val x0 = math.max(0, math.min(r.w - 1, math.floor(fx).toInt))
-        val x1 = math.min(r.w - 1, x0 + 1)
-        val wx = math.max(0.0, math.min(1.0, fx - x0))
-        val p00 = r.pixels(y0 * r.w + x0); val p01 = r.pixels(y0 * r.w + x1)
-        val p10 = r.pixels(y1 * r.w + x0); val p11 = r.pixels(y1 * r.w + x1)
+        val wx = wxs(x)
+        val p00 = r.pixels(row0 + xs0(x)); val p01 = r.pixels(row0 + xs1(x))
+        val p10 = r.pixels(row1 + xs0(x)); val p11 = r.pixels(row1 + xs1(x))
         var packed = 0
         var shift = 16
         while (shift >= 0) {

@@ -40,6 +40,35 @@ class ImagingSpec extends AnyFunSuite {
     assert(decoded.nonEmpty && decoded.get.w == 32)
   }
 
+  test("toRaster fast DataBuffer paths are bit-identical to the getRGB " +
+    "oracle (3BYTE_BGR from JPEG/PNG decode, INT_RGB, INT_ARGB, BYTE_GRAY)") {
+    import java.awt.image.BufferedImage
+    def viaGetRgb(img: BufferedImage): Array[Int] = {
+      val px = new Array[Int](img.getWidth * img.getHeight)
+      img.getRGB(0, 0, img.getWidth, img.getHeight, px, 0, img.getWidth)
+      px.map(_ & 0xffffff)
+    }
+    def check(img: BufferedImage, label: String): Unit = {
+      assert(Imaging.toRaster(img).pixels.sameElements(viaGetRgb(img)),
+        s"$label (type ${img.getType})")
+    }
+    // real decoder outputs: ImageIO gives 3BYTE_BGR for JPEG and RGB PNG
+    check(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Imaging.encodeJpeg(raster))), "jpeg decode")
+    check(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Imaging.encodePng(raster))), "png decode")
+    // synthetic layouts incl. the alpha-masked and ColorModel-converted paths
+    for (t <- Seq(BufferedImage.TYPE_INT_RGB, BufferedImage.TYPE_INT_ARGB,
+      BufferedImage.TYPE_3BYTE_BGR, BufferedImage.TYPE_BYTE_GRAY,
+      BufferedImage.TYPE_USHORT_565_RGB)) {
+      val img = new BufferedImage(17, 11, t)
+      val rnd = new java.util.Random(5 + t)
+      (0 until 11).foreach(y => (0 until 17).foreach(x =>
+        img.setRGB(x, y, rnd.nextInt() | 0xff000000)))
+      check(img, s"synthetic type $t")
+    }
+  }
+
   test("maxPixelsScaling geometry matches reference formula (ImageScaling.java:96–116)") {
     // no-op when area <= target (ImageScaling.java:103–105)
     assert(Imaging.maxPixelsScaling(raster, 96L * 128L) eq raster)
