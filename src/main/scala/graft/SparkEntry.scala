@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Similarity, TextOps}
 import graft.temporal.Temporal
 
 /**
@@ -279,6 +279,46 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------- corpus curation
+    // Deterministic train/val/test assignment — a pure function of the id
+    // (md5 percentile), so membership survives re-partitioning, corpus growth
+    // and re-runs; the oracle replays the identical arithmetic.
+    "q_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Curation.splitAssign(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // PII-style redaction: emails/URLs are synthesized per row (the corpus
+    // has none) so the masking path is actually exercised, then masked with
+    // typed placeholders. Row-local regexp_replace — stays in codegen.
+    "q_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Curation.redact(concat(
+          col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex-a.co or see https://ex.co/d/"),
+          col("doc_id").cast("string"), lit("?q=1 end"))).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Canonical pre-dedup text normalization (lowercase, collapse whitespace).
+    "q_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Curation.normalize(col("text")).as("norm_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic k-per-source down-sample via the bounded-heap aggregate:
+    // map-side heaps keep ≤ k ids per source before the shuffle — the
+    // domain-capping shape for a 100 TB crawl mix (no Window, no corpus
+    // bytes through the exchange).
+    "q_sample_per_group" -> ((s, dir) => {
+      Curation.samplePerGroup(t(s, dir, "documents"), Seq("source"), "doc_id", 5)
+        .withColumnRenamed("rank", "rk")
+        .orderBy("source", "rk")
     }),
 
     // ------------------------------------------------------- deduplication
@@ -645,6 +685,40 @@ object SparkEntry {
         |    - (CAST(LENGTH(text) AS DOUBLE) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)
         |  )), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // md5-percentile split: DuckDB parses the hex prefix via a 0x-literal
+    // cast; Spark via conv(hex, 16, 10) — same 32-bit value, same % 100.
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pct
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    // patterns interpolated verbatim from Curation (no lookaround /
+    // backreferences, so Java regex and RE2 agree); DuckDB needs the 'g' flag
+    // for replace-all, Spark's regexp_replace is replace-all by default.
+    "q_redact" ->
+      ("""SELECT doc_id, regexp_replace(regexp_replace(
+        |  concat(text, ' contact u', CAST(doc_id AS VARCHAR),
+        |         '@ex-a.co or see https://ex.co/d/', CAST(doc_id AS VARCHAR), '?q=1 end'),
+        |  '""".stripMargin + graft.operators.Curation.emailPattern +
+        """', '<EMAIL>', 'g'),
+        |  '""".stripMargin + graft.operators.Curation.urlPattern +
+        """', '<URL>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  TRIM(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_per_group" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647,
+        |    doc_id) AS INT) AS rk
+        |  FROM documents) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH all_docs AS (

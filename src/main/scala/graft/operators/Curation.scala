@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline needs
+ * around dedup/similarity: deterministic dataset splits, per-group
+ * down-sampling, PII redaction and text normalization. All per-row work is
+ * built from `org.apache.spark.sql.functions._` (codegen'd, no UDFs); the
+ * only shuffle in the family is the sampler's bounded-heap aggregate.
+ *
+ * Determinism is the design constraint throughout: a 100 TB corpus is
+ * re-curated many times (new filters, new dedup thresholds), and the
+ * train/val/test membership of a document must never move between runs or
+ * depend on partitioning — so every "random" choice here is a pure function
+ * of the row's id (md5-derived), never of `rand()`, task order, or row order.
+ */
+object Curation {
+
+  /** 32-bit bucket in [0, buckets) derived from the md5 of the id rendered as
+    * a string — md5 (not xxhash64) because the oracle side (DuckDB, or any
+    * other engine auditing the split) must reproduce the exact assignment;
+    * md5 is the lingua-franca hash. Row-local, codegen'd, no shuffle. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /**
+   * Deterministic train/val/test split assignment: percentile = md5-bucket in
+   * [0,100); rows map to "train" below trainPct, "val" below trainPct+valPct,
+   * else "test". Exactly reproducible from the id alone — adding, dropping or
+   * re-partitioning other rows never moves a document across splits (the
+   * property `rand(seed)`-based splits lose the moment the corpus changes).
+   */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percents ($trainPct, $valPct)")
+    val pct = hashBucket(id, 100)
+    when(pct < trainPct, lit("train"))
+      .when(pct < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Email-address pattern shared by Java regex and RE2 (no lookaround, no
+    * backreferences) so an external engine can replay the redaction. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URL pattern: scheme + non-space run. Deliberately greedy-simple — a
+    * curation redactor errs toward over-masking. */
+  val urlPattern: String = "https?://[^ \\t\\n\\r]+"
+
+  /**
+   * PII-style redaction for training corpora: masks emails then URLs with
+   * typed placeholder tokens. Order matters — an email inside a URL query
+   * string is masked by the email pass first, then the surrounding URL
+   * collapses around the placeholder. Row-local; pure regexp_replace so the
+   * scan stays in whole-stage codegen.
+   */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      urlPattern, "<URL>")
+
+  /**
+   * Canonical text normalization before exact/near dedup: lowercase, collapse
+   * every whitespace run to one space, trim. Makes exact-dedup catch
+   * layout-only duplicates (same words, different wrapping) that byte
+   * equality misses. Composed from lower/regexp_replace/trim — portable to
+   * any SQL engine for auditing.
+   */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[ \\t\\n\\r]+", " "))
+
+  /**
+   * Deterministic k-per-group down-sample (e.g. cap every `source` domain at
+   * k documents so one crawl host can't dominate the training mix). Rank
+   * within the group by (md5-derived sample key asc, id asc) via the
+   * bounded-heap aggregate — each map task keeps ≤ k candidates per group
+   * before the shuffle, so sampling a 100 TB corpus shuffles
+   * O(groups · partitions · k) ids, never the corpus. No Window, no
+   * per-group global sort.
+   */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     k: Int): DataFrame = {
+    val keyed = df.withColumn("__sample_key",
+      hashBucket(col(idCol), Int.MaxValue).cast("double"))
+    Similarity.topKPerGroup(keyed, groupCols, "__sample_key", idCol, k,
+        ascending = true)
+      .drop("__sample_key")
+  }
+}

@@ -25,7 +25,10 @@ object TextOps {
   /** BPE-ish subword-token estimate: counts letter runs, single digits, and
     * single non-alphanumeric glyphs (the GPT-2 pre-tokenizer's coarse shape —
     * digits and punctuation tokenize individually, words as runs). Pure-ASCII
-    * character classes so Java regex and the DuckDB (RE2) oracle agree. */
+    * character classes so Java regex and the DuckDB (RE2) oracle agree —
+    * including outside the BMP: java.util.regex matches CODE POINTS (a
+    * surrogate pair is one `[^…]` match, same as RE2's one-codepoint match),
+    * verified by the non-BMP case in TextOpsSpec. */
   val bpeTokenPattern: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))

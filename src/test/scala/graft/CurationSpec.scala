@@ -1,0 +1,97 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Corpus-curation operators: deterministic md5 split, redaction,
+  * normalization, per-group deterministic sampling. The hash paths are
+  * verified against a scalar JVM md5 reimplementation — the same arithmetic
+  * the DuckDB oracle replays in SQL. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def md5Bucket(id: String, buckets: Int): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(id.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
+  test("hashBucket matches scalar md5 arithmetic and is id-stable") {
+    val ids = (0L until 200L).toDF("id")
+    val got = ids.select(col("id"), Curation.hashBucket(col("id"), 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 200L).foreach { i =>
+      assert(got(i) == md5Bucket(i.toString, 100), s"id $i")
+    }
+  }
+
+  test("splitAssign: pure function of id — unaffected by corpus membership") {
+    val small = (0L until 50L).toDF("doc_id")
+    val large = (0L until 500L).toDF("doc_id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Curation.splitAssign(col("doc_id")).as("s"))
+        .as[(Long, String)].collect().toMap
+    val a = splits(small); val b = splits(large)
+    a.foreach { case (id, s) => assert(b(id) == s) }
+    // rough proportions at 500 ids (md5 is uniform; 80/10/10 ± slack)
+    val counts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 350 && counts("train") < 450)
+    assert(counts("val") > 20 && counts("test") > 20)
+  }
+
+  test("redact masks emails and URLs, leaves plain text alone") {
+    val texts = Seq(
+      "write to alice.smith+x@sub.example.co.uk today",
+      "docs at https://ex.co/a/b?q=1&r=2 and http://plain.io/x",
+      "no pii here, just words",
+      "mixed bob@ex.io then https://ex.io/u/bob@ex.io trailing")
+    val got = texts.toDF("text").select(Curation.redact(col("text")))
+      .as[String].collect()
+    assert(got(0) == "write to <EMAIL> today")
+    assert(got(1) == "docs at <URL> and <URL>")
+    assert(got(2) == texts(2))
+    // email pass runs first: the address inside the URL is masked, then the
+    // URL run (which now contains the placeholder) collapses around it
+    assert(got(3) == "mixed <EMAIL> then <URL> trailing")
+  }
+
+  test("normalize: lowercase, collapse whitespace, trim") {
+    val got = Seq("  Mixed   CASE\t\ttext \n wrapped  ", "", "ONE")
+      .toDF("text").select(Curation.normalize(col("text"))).as[String].collect()
+    assert(got(0) == "mixed case text wrapped")
+    assert(got(1) == "")
+    assert(got(2) == "one")
+  }
+
+  test("samplePerGroup: exactly k per group, deterministic, md5-ordered") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val got = Curation.samplePerGroup(df, Seq("grp"), "id", 7)
+    val rows = got.as[(String, Long, Int)].collect()
+    assert(rows.length == 21)
+    assert(rows.groupBy(_._1).forall(_._2.length == 7))
+    // expected: per group, the 7 ids with smallest (md5-bucket, id)
+    val expected = (0L until 300L).groupBy(i => s"g${i % 3}").map { case (g, ids) =>
+      g -> ids.sortBy(i => (md5Bucket(i.toString, Int.MaxValue), i)).take(7).toSet
+    }
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._2).toSet == expected(g), s"group $g")
+    }
+    // re-run identical (no rand() anywhere)
+    val again = Curation.samplePerGroup(df, Seq("grp"), "id", 7)
+      .as[(String, Long, Int)].collect()
+    assert(again.sortBy(r => (r._1, r._3)).sameElements(rows.sortBy(r => (r._1, r._3))))
+  }
+
+  test("samplePerGroup plans the bounded heap, not a Window") {
+    val df = (0L until 50L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    val plan = Curation.samplePerGroup(df, Seq("grp"), "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_k"))
+    assert(!plan.contains("Window"))
+  }
+}
