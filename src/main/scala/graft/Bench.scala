@@ -203,7 +203,8 @@ object Bench {
         work.resolve(s"warm_$c").toString, c)
       spark.stop()
     }
-    (1 to 3).foreach { rep =>
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "3").toInt
+    (1 to pipeReps).foreach { rep =>
       Seq(lowCpus, highCpus).foreach { c =>
         val spark = newSession(c)
         val t0 = System.nanoTime()

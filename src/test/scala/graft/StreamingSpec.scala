@@ -110,4 +110,31 @@ class StreamingSpec extends AnyFunSuite {
       .select("content_key").as[String].collect().toSeq
     assert(keys.sorted == Seq("ka", "kb", "kc"), s"got $keys")
   }
+
+  test("curation transforms run unchanged on a stream (row-local, stateless) " +
+    "and match batch output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Curation
+    val data = Seq(
+      (1L, "Write to a@ex.io  NOW"),
+      (2L, "plain  Text\tno pii"),
+      (3L, "see https://ex.io/x then stop"))
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      Curation.splitAssign(col("doc_id")).as("split"),
+      Curation.normalize(Curation.redact(col("text"))).as("clean"))
+    val input = MemoryStream[(Long, String)]
+    val q = curate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    input.addData(data: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("curate_out").as[(Long, String, String)].collect().toSet
+    val want = curate(data.toDF("doc_id", "text"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == want && got.size == 3)
+    // normalize runs after redact, so the placeholder is lowercased too
+    assert(got.exists(_._3 == "write to <email> now"))
+  }
 }

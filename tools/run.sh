@@ -11,7 +11,12 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS ${GRAFT_EXTRA_JAVA_OPTS:-} -Xmx${SPARK_DRIVER_MEM:-16g} \
-  -XX:+UseParallelGC \
+# GC: the featurize hot loop allocates ~MBs per image (decode buffers,
+# rasters, descriptor arrays). ParallelGC's stop-the-world pauses measured
+# ~25% of bench wall clock (300ms young + multi-second full GCs) — a serial
+# fraction that caps N→4N scaling. G1 keeps pauses bounded; override with
+# GRAFT_GC_OPTS if needed.
+exec java $ADD_OPENS ${GRAFT_EXTRA_JAVA_OPTS:-} -Xmx${SPARK_DRIVER_MEM:-24g} \
+  ${GRAFT_GC_OPTS:--XX:+UseG1GC -XX:MaxGCPauseMillis=100} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
