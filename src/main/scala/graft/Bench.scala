@@ -86,6 +86,43 @@ object Bench {
   private def logPhase(msg: String): Unit =
     System.err.println(s"[bench ${java.time.Instant.now()}] $msg")
 
+  // ---- host-throttle instrumentation ------------------------------------
+  // The sandbox VM sustains full-box load only for a burst window, then
+  // throttles CPU 10-20x (threads stay "100% busy" but retire instructions
+  // at a fraction of the rate — observed: a 50 s pipeline rep taking 900 s
+  // while burning nominal CPU). A fixed single-thread arithmetic probe
+  // detects the state: probe time tracks effective clock speed exactly.
+  private def cpuProbeMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L; var i = 0
+    while (i < 60000000) { x += (i * 2654435761L) ^ (x >>> 31); i += 1 }
+    if (x == 42L) System.err.print("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private var bestProbeMs = Double.MaxValue
+  private var worstProbeMs = 0.0
+
+  /** Probe the host; if throttled (probe > 1.4x the best observed), idle in
+    * 15 s steps up to `maxWaitSec` so the burst budget refills, and time the
+    * rep in the recovered window. Honest: the probe/wait are recorded in the
+    * output JSON (cpu_probe_best/worst_ms, throttle_wait_sec) and waiting
+    * never speeds up the measured job itself. */
+  private var totalWaitSec = 0.0
+  private def awaitQuietHost(maxWaitSec: Int = 120): Unit = {
+    var p = cpuProbeMs()
+    bestProbeMs = math.min(bestProbeMs, p)
+    worstProbeMs = math.max(worstProbeMs, p)
+    var waited = 0
+    while (p > bestProbeMs * 1.4 && waited < maxWaitSec) {
+      logPhase(f"host throttled (probe $p%.0f ms vs best $bestProbeMs%.0f ms); idling 15 s")
+      Thread.sleep(15000); waited += 15; totalWaitSec += 15
+      p = cpuProbeMs()
+      bestProbeMs = math.min(bestProbeMs, p)
+      worstProbeMs = math.max(worstProbeMs, p)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -106,6 +143,7 @@ object Bench {
       qs("q_agg_pricing")(spark, sfDir).write.mode("overwrite").format("noop").save()
       val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
       (1 to reps).foreach { rep =>
+        awaitQuietHost() // one gate per pass; passes are the noise exposure
         headline.foreach { name =>
           if (!errors.contains(name)) { // a crashed query won't un-crash
             logPhase(s"query $name rep$rep")
@@ -207,6 +245,7 @@ object Bench {
     (1 to pipeReps).foreach { rep =>
       Seq(lowCpus, highCpus).foreach { c =>
         val spark = newSession(c)
+        awaitQuietHost()
         val t0 = System.nanoTime()
         rowsOut = runPipeline(spark, inputPath, modelDf(spark), bundles,
           work.resolve(s"out_${c}_$rep").toString, c)
@@ -227,6 +266,7 @@ object Bench {
       var best = Double.MaxValue
       var rows = 0L
       (1 to 2).foreach { rep =>
+        awaitQuietHost()
         val t0 = System.nanoTime()
         rows = runPipeline(spark, inputPath, modelDf(spark), bundles,
           work.resolve(s"out_full_$rep").toString, cpus)
@@ -244,6 +284,11 @@ object Bench {
     results("scaling_efficiency_Nto4N") = eff
     results("scaling_cpus_low") = lowCpus.toDouble
     results("scaling_cpus_high") = highCpus.toDouble
+    if (bestProbeMs < Double.MaxValue) {
+      results("cpu_probe_best_ms") = bestProbeMs
+      results("cpu_probe_worst_ms") = worstProbeMs
+      results("throttle_wait_sec") = totalWaitSec
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
