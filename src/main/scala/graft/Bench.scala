@@ -227,22 +227,24 @@ object Bench {
             org.apache.spark.sql.types.TimestampType, nullable = false))))
 
     var vectorsPerSec = 0.0
-    // one warmup pass per parallelism level (JIT is JVM-wide, so only the
-    // first truly matters), then INTERLEAVED timed reps — the sandbox VM has
-    // multi-second throttle windows, and alternating N/4N reps exposes both
-    // levels to the same noise instead of letting one window skew the ratio;
-    // min-of-3 per level then estimates steady state.
+    // ONE untimed warmup (JIT is JVM-wide — a per-level warmup just burned
+    // the host's burst budget twice before the timed reps), then INTERLEAVED
+    // timed reps — the sandbox VM has multi-second throttle windows, and
+    // alternating N/4N reps exposes both levels to the same noise instead of
+    // letting one window skew the ratio; min-of-N per level then estimates
+    // steady state.
     val best = scala.collection.mutable.Map(lowCpus -> Double.MaxValue,
       highCpus -> Double.MaxValue)
     var rowsOut = 0L
-    Seq(lowCpus, highCpus).foreach { c =>
-      val spark = newSession(c)
-      logPhase(s"warmup at local[$c]")
+    locally {
+      val spark = newSession(highCpus)
+      awaitQuietHost()
+      logPhase(s"warmup at local[$highCpus]")
       val warmImages = spark.read.parquet(inputPath).limit(800)
-      val warmPath = work.resolve(s"warm_in_$c").toString
+      val warmPath = work.resolve("warm_in").toString
       warmImages.write.mode("overwrite").parquet(warmPath)
       runPipeline(spark, warmPath, modelDf(spark), bundles,
-        work.resolve(s"warm_$c").toString, c)
+        work.resolve("warm").toString, highCpus)
       spark.stop()
     }
     val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "3").toInt
