@@ -191,6 +191,99 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Ranking windows (§2.9): rank/dense_rank over a value ordering (ties
+    // share a rank — deterministic), ntile over a unique (ts, event_id)
+    // ordering so tile assignment is deterministic.
+    "q_rank_ntile" -> ((s, dir) => {
+      val byVal = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          rank().over(byVal).as("rk"),
+          dense_rank().over(byVal).as("drk"),
+          ntile(4).over(byTs).as("quartile"))
+        .orderBy("event_id")
+    }),
+
+    // Running (cumulative) per-entity aggregates — unbounded-preceding frame,
+    // the prefix-scan sibling of the q_window_agg sliding frame.
+    "q_cumsum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          round(sum(col("value")).over(w), 6).as("run_sum"),
+          count(lit(1)).over(w).as("run_n"))
+        .orderBy("event_id")
+    }),
+
+    // Exact continuous percentiles per group (sort-based `percentile`, not
+    // the approximate sketch): quantity is integral so the linear
+    // interpolation is exact in FP on both engines.
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Distribution statistics (corr/stddev/variance) — single-pass co-moment
+    // aggregates; outputs are O(1)-magnitude so round(…,6) absorbs engine
+    // ulp differences.
+    "q_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ROLLUP hierarchy totals; grouping nulls folded to 'ALL' so the total
+    // ORDER BY is engine-independent (Spark sorts NULLS FIRST, DuckDB LAST).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(20, 6))).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+
+    // Pivot = conditional aggregation with a fixed value list (dynamic-pivot
+    // needs a values scan first; a fixed list keeps the plan one pass).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // Fixed-width binned histogram — bucket arithmetic written identically
+    // in both engines (no width_bucket: DuckDB lacks it).
+    "q_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // Set intersection (§2.8 sibling of q_except) — plans as a distinct
+    // left-semi join.
+    "q_intersect" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"))
+        .intersect(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")))
+        .orderBy("o_orderkey")
+    }),
+
     // --------------------------------------------------------------- top-k
     // Global top-k → TakeOrderedAndProject (T1 partial/final shape).
     "q_topk_global" -> ((s, dir) => {
@@ -457,6 +550,18 @@ object SparkEntry {
       Similarity.recallAtK(exact, approx, k = 10).orderBy("query_id")
     }),
 
+    // Radius (range) search — all corpus vectors with cosine ≥ τ per query;
+    // threshold 0.25 sits ≥7e-4 from every corpus cosine at the gated SF, so
+    // engine ulp differences cannot flip membership at the boundary.
+    "q_embed_range" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rangeSearch(emb.where(col("vec_id") < 3), emb,
+        "vec_id", "embedding", minCosine = 0.25)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // Embedding near-dup pairs via hyperplane LSH + exact-cosine verify.
     // Injected exact duplicates hash identically ⇒ recall 1.0 for them, so
     // the SQL brute-force pairs (cosine ≥ 0.999) are a true oracle.
@@ -599,6 +704,60 @@ object SparkEntry {
         |COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_n
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rank_ntile" ->
+      """SELECT event_id,
+        |  RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk,
+        |  DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS drk,
+        |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cumsum" ->
+      """SELECT event_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(var_samp(l_discount), 6) AS var_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_orderkey FROM orders
+        |INTERSECT SELECT l_orderkey AS o_orderkey FROM lineitem
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
@@ -773,6 +932,13 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_range" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROUND(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+        |FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id
+        |WHERE CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE) >= 0.25
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH all_emb AS (

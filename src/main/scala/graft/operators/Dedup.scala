@@ -169,9 +169,14 @@ object Dedup {
     // labels_i references labels_{i-1} twice (join + message aggregate), so
     // the logical plan doubles per sweep and the analyzer — which sees plans,
     // not caches — goes exponential by sweep ~20.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    var iter = 0
+    // seed labels with min(id, min neighbor) — the edge list is symmetrized,
+    // so this one aggregate IS the first propagation sweep (saves a full
+    // join+aggregate+checkpoint round vs seeding label = id)
+    var labels = edges.groupBy("src")
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label"))
+      .localCheckpoint(true)
+    var iter = 1
     var converged = false
     try {
       while (iter < maxIter && !converged) {

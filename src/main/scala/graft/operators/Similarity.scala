@@ -78,6 +78,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /**
+   * Radius (range) search — the threshold complement of top-k: every corpus
+   * vector with cosine ≥ `minCosine` of each query. Same broadcast-query /
+   * narrow-scan shape as [[bruteForceTopK]] but the filter replaces the
+   * bounded heap, so output size is data-dependent; at 100 TB the scan is
+   * embarrassingly parallel and nothing shuffles (the filter is applied
+   * map-side before any exchange). Self-matches excluded.
+   * Returns (query_id, neighbor_id, cosine).
+   */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Assign each row its nearest coarse-centroid list id (the IVF
     * partitioning key, ds/IVFPQ.java:100–106). The centroid matrix rides in a
     * Spark broadcast inside a native codegen'd expression

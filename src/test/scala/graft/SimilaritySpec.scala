@@ -44,6 +44,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rangeSearch returns exactly the scalar pairs with cosine >= threshold") {
+    val tau = 0.25
+    val got = Similarity.rangeSearch(
+      corpus.where(col("vec_id") < 3), corpus, "vec_id", "embedding", tau)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      qid <- 0L until 3L
+      (nid, v) <- vecs if nid != qid
+      c = Kernels.cosineSimilarity(vecs(qid.toInt)._2.map(_.toDouble), v.map(_.toDouble))
+      if c >= tau
+    } yield (qid, nid)).toSet
+    assert(got == expect)
+  }
+
   test("ivfTopK with nprobe = numLists is exactly brute force") {
     val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
     val withList = corpus.withColumn("list_id",
