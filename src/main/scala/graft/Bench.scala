@@ -63,8 +63,12 @@ object Bench {
 
   /** The timed flagship job: read input → as-of join → featurize → snapshot.
     * Output files are sized explicitly: numSalts × K writer groups
-    * (K = cores/16, min 1) so one hot salt cannot produce one hot file and
-    * write parallelism tracks the cluster (at 100 TB, K = bytes/128 MB). */
+    * (K = cores/4, min 2): the synthetic phash skew parks ~a third of all
+    * rows on ONE salt, so with K=1 the write stage ends in a single hot task
+    * — a serial tail that caps N→4N scaling (measured: ~3.7 s of the
+    * snapshot phase was the hot-salt straggler). K ≥ cores/4 keeps the hot
+    * salt's per-task share under the per-core average at every parallelism
+    * level (at 100 TB, K = salt bytes/128 MB — same bound, size-based). */
   private def runPipeline(spark: SparkSession, inputPath: String,
                           modelDf: DataFrame,
                           bundles: Map[Int, graft.model.ModelBundle],
@@ -73,7 +77,7 @@ object Bench {
       .where(col("fmt").isin("png", "jpeg"))
     val bound = Temporal.asOfJoin(images, modelDf, "ts", "valid_from")
     val numSalts = 16
-    val k = math.max(1, cpus / numSalts)
+    val k = math.max(2, cpus / 4)
     val features = FeaturePipeline.featurize(bound, bundles, Synth.defaultConfig)
       .withColumn("salt", pmod(col("phash"), lit(numSalts)).cast("int"))
       .repartition(numSalts * k,
@@ -172,7 +176,7 @@ object Bench {
     // (scan listing + shuffle barrier + snapshot commit) at the high
     // parallelism level — the scaling-efficiency denominator. At 100 TB a
     // real ingest runs hours, so steady state is the honest regime.
-    val nImages = if (sfDir.contains("sf0.1")) 120000L
+    val nImages = if (sfDir.contains("sf0.1")) 200000L
       else if (sfDir.contains("sf0.01")) 2000L else 400L
     val work = Files.createTempDirectory("graft_bench")
     // N vs 4N pair; override with SPARK_GRAFT_SCALING="low,high". Default is
@@ -205,7 +209,11 @@ object Bench {
         val spark = newSession(cpus)
         logPhase(s"generating $nImages images -> $inputPath")
         Files.createDirectories(cacheDir)
-        val images = Synth.imageTable(spark, nImages, partitions = cpus * 2)
+        // 8 files per core: each ~8 MB parquet file is one row group = one
+        // scan task (splits can't subdivide a row group), so file count sets
+        // task granularity — 8 waves at full width keeps the last-wave
+        // straggler tail ≤ ~1/8 of a wave instead of a whole 1/2-wave stall
+        val images = Synth.imageTable(spark, nImages, partitions = cpus * 8)
         images.write.mode("overwrite").parquet(inputPath)
         logPhase("minting models")
         val minted = Synth.mintModels(spark, spark.read.parquet(inputPath)

@@ -354,7 +354,10 @@ object SparkEntry {
     // TakeOrderedAndProject. The shuffle carries (ngram, partial count), not
     // documents.
     "q_ngram_topk" -> ((s, dir) => {
+      // documents is ONE parquet file — without an explicit repartition the
+      // whole tokenize+explode runs in a single task (CLAUDE.md trap)
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)
