@@ -191,6 +191,44 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Calendar bucketing (§2.9 temporal scalars): date_trunc to day + hour
+    // extraction; epochs via FLOOR so sub-second fractions round identically
+    // in both engines (CLAUDE.md: DuckDB epoch-cast rounds, Spark floors).
+    "q_time_buckets" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          date_trunc("day", col("ts")).cast("timestamp").cast("long").as("day_epoch"),
+          hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy("day_epoch", "hr")
+    }),
+
+    // Edit distance (fuzzy-match primitive): each injected near-dup vs its
+    // source — levenshtein on the 60-char prefix, computed identically in
+    // both engines.
+    "q_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("dup_id"),
+          concat(col("text"), lit(" extra")).as("dup_text"),
+          col("doc_id"))
+      docs.join(dupes, "doc_id")
+        .select(col("doc_id"), col("dup_id"),
+          levenshtein(substring(col("text"), 1, 60),
+            substring(col("dup_text"), 1, 60)).as("edit_dist"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact distinct counts (the cardinality surface; the HLL sketch variant
+    // is engine-specific so the oracle pins the exact path).
+    "q_count_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Ranking windows (§2.9): rank/dense_rank over a value ordering (ties
     // share a rank — deterministic), ntile over a unique (ts, event_id)
     // ordering so tile assignment is deterministic.
@@ -707,6 +745,21 @@ object SparkEntry {
         |COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_n
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_time_buckets" ->
+      """SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+        |  CAST(hour(ts) AS INT) AS hr,
+        |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day_epoch, hr""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT d.doc_id, d.doc_id + 1000000 AS dup_id,
+        |  CAST(levenshtein(substr(d.text, 1, 60), substr(d.text || ' extra', 1, 60)) AS INT) AS edit_dist
+        |FROM documents d WHERE d.doc_id < 20 ORDER BY d.doc_id""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_rank_ntile" ->
       """SELECT event_id,

@@ -51,6 +51,20 @@ object StreamingOps {
     graft.temporal.Temporal.asOfJoin(events, versions, leftTs, rightTs, keys,
       joinType = "inner", lookback = lookback)
 
+  /** Streaming flagship-ingest twin (§2.10 × the P-pipeline): image rows
+    * arrive as a stream, bind their as-of model version against the STATIC
+    * model table (stream-static interval join, no stream-side state), then
+    * run the full decode→extract→VLAD→PCA→PQ featurize — literally the batch
+    * `FeaturePipeline.featurize` call, which is a stateless mapPartitions
+    * over broadcast model state and therefore directly stream-compatible.
+    * A live ingest and a 100 TB backfill share one featurize definition;
+    * batch parity is asserted in StreamingSpec. */
+  def featurizeStream(images: DataFrame, modelDf: DataFrame,
+                      bundles: Map[Int, graft.model.ModelBundle],
+                      cfg: graft.pipeline.FeaturePipeline.PipelineConfig): DataFrame =
+    graft.pipeline.FeaturePipeline.featurize(
+      asOfBind(images, modelDf, "ts", "valid_from"), bundles, cfg)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionUpdate(user_id: Long, session_seq: Long, n_events: Long,
                                  start_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

@@ -92,6 +92,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((10L, 100), (11L, 100), (12L, 101), (13L, 101), (21L, 200)))
   }
 
+  test("streaming featurizeStream == batch featurize on the same image rows " +
+    "(stream-static model bind + stateless mapPartitions pipeline)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 40L
+    val all = graft.data.Synth.imageTable(spark, n).cache()
+    val minted = graft.data.Synth.mintModels(spark, all, n, iterations = 2)
+    val images = all.where(col("fmt").isin("png", "jpeg")).cache()
+    val rows = images
+      .select("image_id", "bytes", "caption", "phash", "ts", "entity_id")
+      .as[(String, Array[Byte], String, Long, Timestamp, String)]
+      .collect().toSeq
+    val input = MemoryStream[(String, Array[Byte], String, Long, Timestamp, String)]
+    val stream = input.toDF()
+      .toDF("image_id", "bytes", "caption", "phash", "ts", "entity_id")
+    val out = StreamingOps.featurizeStream(stream, minted._1, minted._2,
+      graft.data.Synth.defaultConfig)
+      .select("image_id", "model_version", "n_descriptors", "pq_code")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("feat_out").start()
+    input.addData(rows.take(5): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(5): _*)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getInt(2),
+        Option(r.get(3)).map {
+          case b: Array[Byte] => b.toList
+          case s: scala.collection.Seq[_] => s.toList
+          case other => other
+        })
+    val got = spark.table("feat_out").collect().map(key).toSet
+    val want = graft.pipeline.FeaturePipeline.featurize(
+      graft.temporal.Temporal.asOfJoin(images, minted._1, "ts", "valid_from",
+        joinType = "inner"),
+      minted._2, graft.data.Synth.defaultConfig)
+      .select("image_id", "model_version", "n_descriptors", "pq_code")
+      .collect().map(key).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming dedupByKey drops duplicate keys within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
