@@ -238,6 +238,18 @@ object ImageQueries {
     // SURF-style extraction (P5, ext/SURFExtractor.java:44–59 — our own
     // Fast-Hessian + 64-d Haar descriptor, SurfLiteExtractor): per-image
     // keypoint/descriptor stats over larger structured rasters.
+    // Perceptual near-dup pairs directly on the 64-bit phash column
+    // (Dedup.hammingPairs64: chunk banding, pigeonhole recall, hot-bucket
+    // cap, exact Hamming verify) — the image twin of the text SimHash dedup.
+    // The synthetic hot phash (~20% of rows share one value, the north-rule
+    // skew) exercises the capped-bucket path.
+    "q_image_phash_neardup" -> ((s, dir) => {
+      val images = Synth.imageTable(s, nFor(dir))
+      graft.operators.Dedup.hammingPairs64(images, "image_id", "phash",
+        maxHamming = 3, chunks = 4, maxBucket = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_image_surf" -> ((s, dir) => {
       import s.implicits._
       val ex = graft.extract.SurfLiteExtractor(detectThreshold = 1.0)

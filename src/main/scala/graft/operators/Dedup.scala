@@ -129,18 +129,35 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, chunks: Int = 4,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame =
+    hammingPairs64(simhashTable(df, idCol, textCol), idCol, "simhash",
+      maxHamming, chunks, maxBucket)
+
+  /**
+   * Hamming-distance pairs over an EXISTING 64-bit signature column — phash,
+   * simhash, any 64-bit sketch. [[simhashPairs]] is this operator behind a
+   * text SimHash; image pipelines call it directly on `phash` (perceptual
+   * near-dup dedup — the north-rule phash skew rides the same hot-bucket cap
+   * as the text paths, so one viral image's bucket cannot go quadratic).
+   * Banding on `chunks` equal bit-chunks guarantees recall for
+   * maxHamming < chunks (pigeonhole); the exact Hamming verify gives
+   * precision. Returns (id_a, id_b, hamming).
+   */
+  def hammingPairs64(signatures: DataFrame, idCol: String, bitsCol: String,
+                     maxHamming: Int = 3, chunks: Int = 4,
+                     maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < chunks, "banding guarantee needs maxHamming < chunks")
     val bitsPer = 64 / chunks
-    withPersistedStage(simhashTable(df, idCol, textCol)) { sims =>
-      val banded = sims.select(col(idCol), col("simhash"),
+    val sigs = signatures.select(col(idCol), col(bitsCol).cast("long").as("__sig"))
+    withPersistedStage(sigs) { sims =>
+      val banded = sims.select(col(idCol), col("__sig"),
         posexplode(transform(
           sequence(lit(0), lit(chunks - 1)),
-          c => call_function("shiftright", col("simhash"), c * bitsPer)
+          c => call_function("shiftright", col("__sig"), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
       val capped = capBuckets(banded, Seq("chunk", "key"), maxBucket)
-      val a = capped.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-      val b = capped.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      val a = capped.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("__sig").as("sh_a"))
+      val b = capped.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("__sig").as("sh_b"))
       a.join(b, Seq("chunk", "key"))
         .where(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")

@@ -114,6 +114,30 @@ class DedupSpec extends AnyFunSuite {
       assert(pairSet.contains((i, i + 1000)), s"simhash must pair exact dupes (hamming 0): $i"))
   }
 
+  test("hammingPairs64 on a raw 64-bit column (phash seam): exactly the " +
+    "scalar pairs within maxHamming, including a hot identical-value group") {
+    // known bit patterns: 0/1/2-bit neighbors of a base value, one far value,
+    // and a 5-strong identical "hot phash" group
+    val sigs = Seq(
+      (1L, 0x0F0F0F0F0F0F0F0FL), (2L, 0x0F0F0F0F0F0F0F0EL), // hamming 1
+      (3L, 0x0F0F0F0F0F0F0F0CL),                             // hamming 2 of #1
+      (4L, 0x70F0F0F0F0F0F0F0L),                             // far from all
+      (5L, 42L), (6L, 42L), (7L, 42L), (8L, 42L), (9L, 42L)  // hot group
+    ).toDF("id", "sig")
+    val got = Dedup.hammingPairs64(sigs, "id", "sig", maxHamming = 3,
+      chunks = 4, maxBucket = 100)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val raw = Seq(1L -> 0x0F0F0F0F0F0F0F0FL, 2L -> 0x0F0F0F0F0F0F0F0EL,
+      3L -> 0x0F0F0F0F0F0F0F0CL, 4L -> 0x70F0F0F0F0F0F0F0L,
+      5L -> 42L, 6L -> 42L, 7L -> 42L, 8L -> 42L, 9L -> 42L)
+    val want = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == want)
+    assert(want.count { case (a, b, h) => a >= 5 && b >= 5 && h == 0 } == 10) // C(5,2)
+  }
+
   test("simhash64 of identical token multisets is identical; empty docs hash to 0 votes") {
     val df = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "x y z w")).toDF("id", "text")
     val hs = df.select(TextOps.simhash64(TextOps.tokens(col("text")))).as[Long].collect()
