@@ -391,6 +391,15 @@ object SparkEntry {
     // 2-gram shingles → map-side partial count → final agg →
     // TakeOrderedAndProject. The shuffle carries (ngram, partial count), not
     // documents.
+    // Within-document repetition ratio (Gopher/C4-style quality filter):
+    // fraction of trigrams that repeat an earlier trigram in the same doc.
+    "q_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.repetitionRatio(col("text"), 3), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_ngram_topk" -> ((s, dir) => {
       // documents is ONE parquet file — without an explicit repartition the
       // whole tokenize+explode runs in a single task (CLAUDE.md trap)
@@ -851,6 +860,18 @@ object SparkEntry {
         graft.operators.TextOps.bpeTokenPattern +
         """')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""").stripMargin,
+
+    "q_repetition" ->
+      """SELECT doc_id, ROUND(CASE WHEN n_sh <= 0 THEN 0.0
+        |  ELSE 1.0 - CAST(n_uniq AS DOUBLE) / n_sh END, 6) AS rep_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN array_length(toks) >= 3 THEN array_length(toks) - 2 ELSE 0 END AS n_sh,
+        |    CASE WHEN array_length(toks) >= 3 THEN len(list_distinct(
+        |      [array_to_string(toks[i:i+2], ' ') for i in range(1, array_length(toks) - 1)]))
+        |      ELSE 0 END AS n_uniq
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
 
     "q_ngram_topk" ->
       """WITH toks AS (

@@ -47,6 +47,18 @@ object TextOps {
    * it exactly (same operations, same constants).
    * score = clamp(0, 1, 0.5 + 0.5*min(ntok,200)/200 - punct_ratio - digit_ratio)
    */
+  /** Within-document repetition ratio — the Gopher/C4-style quality signal:
+    * fraction of word n-grams that are repeats of an earlier n-gram in the
+    * same document (0 = no repetition, →1 = the document is one phrase
+    * looped). Row-local (no shuffle); n-gram extraction is the native
+    * word_shingles expression. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(tokens(text), n)
+    when(size(sh) <= lit(0), lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
   def qualityScore(text: Column): Column = {
     val len = length(text).cast("double")
     val punct = (len - length(regexp_replace(text, "[.,!?;:]", ""))) / greatest(len, lit(1.0))
