@@ -135,13 +135,85 @@ object SnapshotSink {
     snap
   }
 
-  /** Read the current committed state (union of all snapshot files). */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val snaps = allSnapshots(table)
-    require(snaps.nonEmpty, s"no snapshots in $table")
+  /** Read the current committed state. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readAsOf(spark, table, Int.MaxValue)
+
+  /**
+   * Time travel: the table state as of snapshot `asOf` (inclusive) — the
+   * union of the files of all snapshots ≤ asOf that are not subsumed by a
+   * compaction ≤ asOf. Manifests are immutable and data files are only
+   * removed by [[vacuum]], so any retained snapshot id reproduces its exact
+   * historical state (the Iceberg `VERSION AS OF` semantics over our
+   * manifest chain).
+   */
+  def readAsOf(spark: SparkSession, table: String, asOf: Int): DataFrame = {
+    val snaps = allSnapshots(table).filter(_.id <= asOf)
+    require(snaps.nonEmpty, s"no snapshots in $table at or before v$asOf")
     val root = Paths.get(table)
-    val files = snaps.flatMap(_.files).map(f => root.resolve(f).toString)
+    val files = activeFiles(snaps).map(f => root.resolve(f).toString)
     spark.read.option("basePath", table).parquet(files: _*)
+  }
+
+  /** Files visible for the state defined by `snaps` (ids ≤ some asOf):
+    * newest-first walk; a compaction snapshot subsumes every snapshot with
+    * id ≤ its `compacts_through`. */
+  private def activeFiles(snaps: Seq[Snapshot]): Seq[String] = {
+    var cutoff = 0
+    val out = Seq.newBuilder[String]
+    snaps.sortBy(-_.id).foreach { s =>
+      if (s.id > cutoff) {
+        out ++= s.files
+        s.lineage.get("compacts_through")
+          .foreach(t => cutoff = math.max(cutoff, t.toInt))
+      }
+    }
+    out.result()
+  }
+
+  /**
+   * Compaction: rewrite the CURRENT state as one snapshot whose manifest
+   * carries `compacts_through = <previous head id>` — readers at or after
+   * the compaction see only the rewritten files, while time travel below it
+   * still resolves the original small files (they stay on disk until
+   * [[vacuum]]). The small-file problem of a many-append ingest (one file
+   * per writer task per commit) is repaired without breaking atomicity:
+   * the compaction is itself an ordinary manifest-last commit.
+   */
+  def compact(spark: SparkSession, table: String, keyCol: String,
+              partitionCols: Seq[String],
+              filesPerPartition: Int = 1): Snapshot = {
+    val head = lastSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no snapshots to compact in $table"))
+    val current = read(spark, table)
+    val compacted =
+      if (partitionCols.isEmpty) current.repartition(filesPerPartition)
+      else current.repartition(partitionCols.map(col): _*)
+    append(compacted, table, keyCol, partitionCols,
+      Map("compacts_through" -> head.id.toString))
+  }
+
+  /**
+   * Snapshot expiry: delete the data files and manifests of snapshots that
+   * are invisible to every read at `retainAsOf` or later — i.e. snapshots
+   * subsumed by a compaction with id ≤ retainAsOf. Time travel below the
+   * horizon is forfeited (the Iceberg `expire_snapshots` contract); reads at
+   * or after it are untouched. Returns the deleted data-file paths.
+   */
+  def vacuum(table: String, retainAsOf: Int): Seq[String] = {
+    val snaps = allSnapshots(table)
+    val horizon = snaps
+      .filter(s => s.id <= retainAsOf && s.lineage.contains("compacts_through"))
+      .map(_.lineage("compacts_through").toInt)
+      .foldLeft(0)(math.max)
+    val obsolete = snaps.filter(_.id <= horizon)
+    val root = Paths.get(table)
+    val deleted = obsolete.flatMap { s =>
+      val gone = s.files.filter(f => Files.deleteIfExists(root.resolve(f)))
+      Files.deleteIfExists(snapshotsDir(table).resolve(s"v${s.id}.json"))
+      gone
+    }
+    deleted
   }
 
   def allSnapshots(table: String): Seq[Snapshot] = {

@@ -66,6 +66,62 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.read(spark, table).count() == 30)
   }
 
+  test("time travel: readAsOf reproduces each historical state exactly") {
+    val table = tmpTable()
+    SnapshotSink.append(data(0 until 10), table, "id", Seq("part"))
+    SnapshotSink.append(data(10 until 30), table, "id", Seq("part"))
+    SnapshotSink.append(data(30 until 35), table, "id", Seq("part"))
+    assert(SnapshotSink.readAsOf(spark, table, 1).count() == 10)
+    assert(SnapshotSink.readAsOf(spark, table, 2)
+      .select("id").as[Long].collect().sorted.sameElements(0L until 30L))
+    assert(SnapshotSink.readAsOf(spark, table, 3).count() == 35)
+    assertThrows[IllegalArgumentException](
+      SnapshotSink.readAsOf(spark, table, 0))
+  }
+
+  test("compact rewrites the current state, preserves rows and time travel; " +
+    "appends after compaction compose") {
+    val table = tmpTable()
+    SnapshotSink.append(data(0 until 10), table, "id", Seq("part"))
+    SnapshotSink.append(data(10 until 30), table, "id", Seq("part"))
+    val before = SnapshotSink.allSnapshots(table).flatMap(_.files).size
+    val comp = SnapshotSink.compact(spark, table, "id", Seq("part"))
+    assert(comp.lineage("compacts_through") == "2")
+    assert(comp.rowCount == 30)
+    // current read sees ONLY the compacted files, identical content
+    val cur = SnapshotSink.read(spark, table)
+    assert(cur.count() == 30)
+    assert(cur.select("id").as[Long].collect().sorted.sameElements(0L until 30L))
+    assert(comp.files.size <= before, "compaction must not increase file count")
+    // time travel below the compaction still resolves the original files
+    assert(SnapshotSink.readAsOf(spark, table, 1).count() == 10)
+    // append after compact: union of compacted + new
+    SnapshotSink.append(data(30 until 40), table, "id", Seq("part"))
+    assert(SnapshotSink.read(spark, table).count() == 40)
+    // resume is a no-op on keys already present through the compaction
+    assert(SnapshotSink.appendMissing(data(0 until 40), table, "id", Seq("part")).isEmpty)
+  }
+
+  test("vacuum deletes only subsumed files below the retention horizon; " +
+    "current reads untouched") {
+    val table = tmpTable()
+    SnapshotSink.append(data(0 until 10), table, "id", Seq("part"))
+    SnapshotSink.append(data(10 until 30), table, "id", Seq("part"))
+    val comp = SnapshotSink.compact(spark, table, "id", Seq("part"))
+    SnapshotSink.append(data(30 until 40), table, "id", Seq("part"))
+    val subsumedFiles = (SnapshotSink.readSnapshot(table, 1).files ++
+      SnapshotSink.readSnapshot(table, 2).files).toSet
+    val deleted = SnapshotSink.vacuum(table, retainAsOf = comp.id)
+    assert(deleted.toSet == subsumedFiles)
+    assert(SnapshotSink.allSnapshots(table).map(_.id) == Seq(comp.id, comp.id + 1))
+    assert(SnapshotSink.read(spark, table).count() == 40)
+    assert(SnapshotSink.readAsOf(spark, table, comp.id).count() == 30)
+    // vacuum with no compaction at/below the horizon deletes nothing
+    val table2 = tmpTable()
+    SnapshotSink.append(data(0 until 10), table2, "id", Seq("part"))
+    assert(SnapshotSink.vacuum(table2, retainAsOf = 1).isEmpty)
+  }
+
   test("partition pruning works on the snapshot table (list-pruned scan shape)") {
     val table = tmpTable()
     SnapshotSink.append(data(0 until 100), table, "id", Seq("part"))
