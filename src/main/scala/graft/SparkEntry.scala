@@ -139,6 +139,22 @@ object SparkEntry {
     // As-of with a staleness bound (feature-eng "max staleness"): bind each
     // event to the user's latest PURCHASE no older than 1 hour; events whose
     // last purchase is staler drop out (inner join).
+    // Forward as-of: each order binds the EARLIEST event of its customer
+    // with ts >= o_orderdate (the "next observation after this point"
+    // direction — mirror of the backward model binding).
+    "q_asof_forward" -> ((s, dir) => {
+      val evs = t(s, dir, "events")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("event_id"))
+      Temporal.asOfJoinForward(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("user_id"), col("o_orderdate")),
+        evs, leftTs = "o_orderdate", rightTs = "ts", keys = Seq("user_id"))
+        .select(col("o_orderkey"), col("event_id"),
+          col("asof_ts").cast("timestamp").cast("long").as("next_epoch"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_asof_tolerance" -> ((s, dir) => {
       val purchases = t(s, dir, "events")
         .where(col("event_type") === "purchase")
@@ -675,6 +691,20 @@ object SparkEntry {
         |FROM events e JOIN v ON e.user_id = v.user_id
         |  AND v.o_orderdate <= e.ts AND (v.valid_to IS NULL OR e.ts < v.valid_to)
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH dedup AS (
+        |  SELECT user_id, ts, MIN(event_id) AS event_id
+        |  FROM events GROUP BY 1, 2
+        |), v AS (
+        |  SELECT user_id, event_id, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_prev
+        |  FROM dedup
+        |)
+        |SELECT o.o_orderkey, v.event_id, CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS next_epoch
+        |FROM orders o JOIN v ON o.o_custkey = v.user_id
+        |  AND v.ts >= o.o_orderdate AND (v.valid_prev IS NULL OR o.o_orderdate > v.valid_prev)
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "q_asof_tolerance" ->
       """WITH p AS (

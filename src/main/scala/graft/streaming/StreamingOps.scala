@@ -65,6 +65,27 @@ object StreamingOps {
     graft.pipeline.FeaturePipeline.featurize(
       asOfBind(images, modelDf, "ts", "valid_from"), bundles, cfg)
 
+  /** Stream → snapshot table: each micro-batch commits through
+    * `SnapshotSink.appendMissing`, so the sink inherits the batch resume
+    * contract — a key that already reached the table (in ANY earlier batch,
+    * or a previous run of the query) is never written twice, and a batch
+    * replayed after a crash is idempotent. This is exactly-once delivery by
+    * key built from at-least-once micro-batches + the anti-join, with
+    * per-batch lineage recorded in each snapshot manifest. Returns the
+    * started query; caller owns its lifecycle. */
+  def sinkToSnapshot(stream: DataFrame, table: String, keyCol: String,
+                     partitionCols: Seq[String],
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sink.SnapshotSink.appendMissing(batch.toDF(), table, keyCol,
+          partitionCols, Map("stream_batch_id" -> batchId.toString))
+        ()
+      }
+      .start()
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionUpdate(user_id: Long, session_seq: Long, n_events: Long,
                                  start_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

@@ -79,6 +79,45 @@ object Temporal {
   }
 
   /**
+   * Forward as-of join: for each left row, attach the EARLIEST right row with
+   * `right.tsCol >= left.tsCol` — the "next scheduled version" binding (next
+   * model retrain, next calibration window). Mirror image of [[asOfJoin]]:
+   * a right row at time r is valid for left timestamps in
+   * (previous right ts, r], derived with lag() over the same small-side
+   * window; then the identical equi+range join shape (broadcast when
+   * keyless). `lookahead` bounds how far in the future a binding may be.
+   */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      keys: Seq[String] = Seq.empty,
+      joinType: String = "inner",
+      lookahead: Option[Column] = None): DataFrame = {
+    val validFrom = "__asof_valid_prev"
+    val w =
+      if (keys.isEmpty) Window.partitionBy().orderBy(col(rightTs))
+      else Window.partitionBy(keys.map(col): _*).orderBy(col(rightTs))
+    val r0 = right.withColumn(validFrom, lag(col(rightTs), 1).over(w))
+      .withColumnRenamed(rightTs, s"asof_$rightTs")
+    val rightKeyed = keys.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"__asof_k_$k"))
+    val r = if (keys.isEmpty) broadcast(rightKeyed) else rightKeyed
+    val rangeCond0 = col(s"asof_$rightTs") >= col(leftTs) &&
+      (col(validFrom).isNull || col(leftTs) > col(validFrom))
+    val rangeCond = lookahead match {
+      case None => rangeCond0
+      case Some(la) => rangeCond0 && col(s"asof_$rightTs") <= col(leftTs) + la
+    }
+    val cond = keys
+      .map(k => col(k) === col(s"__asof_k_$k"))
+      .foldLeft(rangeCond)(_ && _)
+    left.join(r, cond, joinType)
+      .drop(validFrom)
+      .drop(keys.map(k => s"__asof_k_$k"): _*)
+  }
+
+  /**
    * Typed sort-merge as-of join — the explicit "range-partitioned sorted-merge"
    * formulation (north rule): both sides are hash-partitioned by key via
    * `cogroupSorted` (one shuffle each), each group's iterators arrive sorted by

@@ -133,6 +133,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("sinkToSnapshot: micro-batches commit snapshots; cross-batch duplicate " +
+    "keys are never re-written (exactly-once by key)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_stream_snap")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val input = MemoryStream[(Long, Int, String)]
+    val stream = input.toDF().toDF("id", "part", "payload")
+    val q = StreamingOps.sinkToSnapshot(stream, table, "id", Seq("part"), ckpt)
+    input.addData((0L until 10L).map(i => (i, (i % 3).toInt, s"v$i")): _*)
+    q.processAllAvailable()
+    // second batch overlaps keys 5-9; only 10-14 are new
+    input.addData((5L until 15L).map(i => (i, (i % 3).toInt, s"v$i")): _*)
+    q.processAllAvailable(); q.stop()
+    val got = graft.sink.SnapshotSink.read(spark, table)
+    assert(got.count() == 15, "each key written exactly once")
+    assert(got.select("id").as[Long].collect().sorted.sameElements(0L until 15L))
+    val snaps = graft.sink.SnapshotSink.allSnapshots(table)
+    assert(snaps.map(_.rowCount).sum == 15)
+    assert(snaps.forall(_.lineage.contains("stream_batch_id")))
+  }
+
   test("streaming dedupByKey drops duplicate keys within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

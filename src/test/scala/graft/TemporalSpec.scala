@@ -47,6 +47,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.size == expectedCount)
   }
 
+  test("asOfJoinForward binds the EARLIEST version with valid_from >= ts " +
+    "(mirror of the backward join, scalar oracle)") {
+    val left = events.toDF("event_id", "entity", "ts", "opt_value")
+    val right = versions.toDF("version", "entity", "valid_from")
+    val got = Temporal.asOfJoinForward(left, right, "ts", "valid_from",
+      keys = Seq("entity"))
+      .select("event_id", "version").as[(Long, Int)].collect()
+    assert(got.map(_._1).distinct.length == got.length, "at most one binding per event")
+    val gotMap = got.toMap
+    val byEntity = versions.groupBy(_._2)
+    events.foreach { case (id, entity, t, _) =>
+      val eligible = byEntity.getOrElse(entity, Seq.empty)
+        .filter(v => !v._3.before(t)) // valid_from >= ts ONLY — no past rows
+      val expected = if (eligible.isEmpty) None
+        else Some(eligible.minBy(_._3.getTime)._1)
+      assert(gotMap.get(id) == expected, s"event $id")
+    }
+  }
+
   test("asOfJoin left join keeps unmatched rows with null version") {
     val left = Seq((1L, "a", ts(0)), (2L, "a", ts(100))).toDF("id", "k", "ts")
     val right = Seq((7, "a", ts(50))).toDF("version", "k", "valid_from")
