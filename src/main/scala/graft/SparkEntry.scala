@@ -507,6 +507,20 @@ object SparkEntry {
     // q_ngram_jaccard, hash-proven) → distributed connected components
     // (min-label propagation). group_id = min doc_id in the component; the
     // DuckDB oracle recomputes components with a recursive CTE.
+    // Benchmark decontamination: drop training docs containing ≥80% of a
+    // benchmark doc's trigrams (benchmark = first 15 docs re-badged, so
+    // containment 1.0 — plus any organically near-identical corpus docs).
+    "q_decontaminate" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
+      val bench = t(s, dir, "documents").where(col("doc_id") < 15)
+        .select((col("doc_id") + 5000000).as("bench_id"),
+          col("text").as("bench_text"))
+      Dedup.decontaminate(train, bench, "doc_id", "bench_id",
+        "text", "bench_text", shingleN = 3, threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "q_dedup_groups" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(
         docsWithDupes(s, dir, maxDocs = 500L), "doc_id", "text",
@@ -914,6 +928,27 @@ object SparkEntry {
         |)
         |SELECT ngram, COUNT(*) AS n FROM grams
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH tsh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
+        |  WHERE array_length(toks) >= 3
+        |), bsh AS (
+        |  SELECT doc_id + 5000000 AS bench_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 15)
+        |  WHERE array_length(toks) >= 3
+        |), contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM tsh t JOIN bsh b ON len(list_intersect(t.sh, b.sh)) > 0
+        |  WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.8
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_groups" ->
       """WITH RECURSIVE all_docs AS (

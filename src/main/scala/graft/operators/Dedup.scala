@@ -324,6 +324,61 @@ object Dedup {
    * a shingle that common carries ~zero Jaccard evidence. Results below the
    * cap are exact (the driver oracle stays green).
    */
+  /**
+   * Cross-corpus n-gram overlap — the decontamination primitive: pairs
+   * (id_l, id_r) where the LEFT (training) document contains at least
+   * `threshold` of the RIGHT (benchmark) document's distinct n-grams
+   * (containment = |sh_l ∩ sh_r| / |sh_r|, the standard train-vs-held-out
+   * contamination test). Same inverted-index join shape as
+   * [[ngramJaccardPairs]] but across two corpora, with the stop-shingle DF
+   * cap applied to BOTH sides so one ubiquitous n-gram cannot go quadratic;
+   * both shingle stages persist once. Returns (id_l, id_r, containment).
+   */
+  def crossNgramOverlap(left: DataFrame, right: DataFrame,
+                        leftId: String, rightId: String,
+                        leftText: String, rightText: String,
+                        shingleN: Int = 3, threshold: Double = 0.8,
+                        maxShingleDf: Int = 10000): DataFrame = {
+    def shingled(df: DataFrame, id: String, text: String, as: String) =
+      df.select(col(id).as(as),
+        graft.functions.TextExpressions.word_shingles(col(text), shingleN,
+          distinct = true).as("sh"))
+        .where(size(col("sh")) > 0)
+    withPersistedStage(shingled(left, leftId, leftText, "id_l")) { l =>
+      withPersistedStage(shingled(right, rightId, rightText, "id_r")) { r =>
+        val invL = capBuckets(
+          l.select(col("id_l"), explode(col("sh")).as("shingle")),
+          Seq("shingle"), maxShingleDf)
+        val invR = capBuckets(
+          r.select(col("id_r"), explode(col("sh")).as("shingle")),
+          Seq("shingle"), maxShingleDf)
+        invL.join(invR, "shingle")
+          .select("id_l", "id_r").dropDuplicates("id_l", "id_r")
+          .join(l.select(col("id_l"), col("sh").as("sh_l")), Seq("id_l"))
+          .join(r.select(col("id_r"), col("sh").as("sh_r")), Seq("id_r"))
+          .withColumn("containment",
+            size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+              size(col("sh_r")))
+          .where(col("containment") >= threshold)
+          .select("id_l", "id_r", "containment")
+      }
+    }
+  }
+
+  /** Decontamination keep-set: drop every left (training) document that
+    * contains ≥ `threshold` of some right (benchmark) document's n-grams —
+    * one left-anti join against the (small) contaminated-id set. */
+  def decontaminate(left: DataFrame, right: DataFrame,
+                    leftId: String, rightId: String,
+                    leftText: String, rightText: String,
+                    shingleN: Int = 3, threshold: Double = 0.8,
+                    maxShingleDf: Int = 10000): DataFrame = {
+    val contaminated = crossNgramOverlap(left, right, leftId, rightId,
+      leftText, rightText, shingleN, threshold, maxShingleDf)
+      .select(col("id_l").as(leftId)).distinct()
+    left.join(contaminated, Seq(leftId), "left_anti")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 10000): DataFrame = {

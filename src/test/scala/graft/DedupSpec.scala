@@ -145,6 +145,30 @@ class DedupSpec extends AnyFunSuite {
     assert(hs(0) != hs(2))
   }
 
+  test("crossNgramOverlap/decontaminate: training docs containing ≥80% of a " +
+    "benchmark doc's trigrams are dropped, everything else kept (scalar oracle)") {
+    val bench = nearDupes.map { case (id, t) => (id + 9000, t) }
+      .toDF("bench_id", "bench_text")
+    val kept = Dedup.decontaminate(docs, bench, "doc_id", "bench_id",
+      "text", "bench_text", shingleN = 3, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    def sh(t: String): Set[String] =
+      t.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val benchSh = nearDupes.map { case (_, t) => sh(t) }
+    val all = base ++ exactDupes ++ nearDupes
+    val contaminated = all.filter { case (_, t) =>
+      val s = sh(t)
+      benchSh.exists(b => b.nonEmpty &&
+        s.intersect(b).size.toDouble / b.size >= 0.8)
+    }.map(_._1).toSet
+    assert(contaminated.nonEmpty)
+    // the near-dup rows in the corpus are verbatim copies of the benchmark
+    // texts — containment 1.0, must all be dropped
+    assert((10L until 20L).map(_ + 2000).forall(contaminated.contains))
+    assert(kept == all.map(_._1).toSet -- contaminated)
+  }
+
   test("connectedComponents: min-label groups over chains, cycles, and " +
     "isolated pairs; converges within diameter sweeps") {
     // components: chain 1-2-3-4-5-6 (diameter 5), triangle 10-11-12 + spur 13,
