@@ -507,6 +507,26 @@ object SparkEntry {
     // q_ngram_jaccard, hash-proven) → distributed connected components
     // (min-label propagation). group_id = min doc_id in the component; the
     // DuckDB oracle recomputes components with a recursive CTE.
+    // Corpus-level rarity signal: per document, how many of its token
+    // OCCURRENCES are corpus-rare (the token appears in ≤ 2 documents) —
+    // a two-phase corpus statistic (DF aggregate → join back), unlike the
+    // row-local text scores. Integer-valued, so the oracle is FP-robust.
+    "q_rare_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+      val rare = df.where(col("doc_freq") <= 2).select("tok")
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(
+          toks.join(rare, Seq("tok"), "left_semi")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_rare")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: drop training docs containing ≥80% of a
     // benchmark doc's trigrams (benchmark = first 15 docs re-badged, so
     // containment 1.0 — plus any organically near-identical corpus docs).
@@ -928,6 +948,21 @@ object SparkEntry {
         |)
         |SELECT ngram, COUNT(*) AS n FROM grams
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "q_rare_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0
+        |), df AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok
+        |), rare AS (
+        |  SELECT doc_id, COUNT(*) AS n_rare
+        |  FROM toks JOIN df USING (tok) WHERE df.doc_freq <= 2
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(r.n_rare, 0) AS n_rare
+        |FROM documents d LEFT JOIN rare r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH tsh AS (
