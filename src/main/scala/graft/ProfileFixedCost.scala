@@ -16,7 +16,7 @@ import graft.temporal.Temporal
   * cache; run AFTER graft.Bench has populated target/bench_cache. */
 object ProfileFixedCost {
   def main(args: Array[String]): Unit = {
-    val cacheDir = java.nio.file.Paths.get("/root/repo/target/bench_cache/images_120000")
+    val cacheDir = java.nio.file.Paths.get("/root/repo/target/bench_cache/images_200000")
     val inputPath = cacheDir.resolve("images").toString
     val modelsBin = cacheDir.resolve("models.bin")
     require(Files.exists(modelsBin), "run graft.Bench first to build the cache")
@@ -65,7 +65,7 @@ object ProfileFixedCost {
       time("featurize_noop")(features.write.mode("overwrite")
         .format("noop").save())
       val numSalts = 16
-      val k = math.max(1, cpus / numSalts)
+      val k = math.max(2, cpus / 4) // keep in sync with Bench.runPipeline
       val repart = features
         .withColumn("salt", pmod(col("phash"), lit(numSalts)).cast("int"))
         .repartition(numSalts * k,

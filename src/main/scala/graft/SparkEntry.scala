@@ -421,7 +421,8 @@ object SparkEntry {
       // whole tokenize+explode runs in a single task (CLAUDE.md trap)
       t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("ngram"))
+        .select(explode(
+          graft.functions.TextExpressions.word_shingles(col("text"), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)
     }),

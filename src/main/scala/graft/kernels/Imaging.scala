@@ -57,9 +57,26 @@ object Imaging {
   def toRaster(img: BufferedImage): Raster = {
     val w = img.getWidth; val h = img.getHeight
     val n = w * h
+    // the direct-DataBuffer fast paths assume a DENSELY PACKED buffer that
+    // starts at index 0 (offset 0, scanline stride == w, exactly w*h pixels
+    // of data) — true for freshly decoded/allocated images, FALSE for
+    // getSubimage views, which share the parent's buffer with a nonzero
+    // offset and parent-width stride; those fall through to getRGB
+    def packed(expectedLen: Int): Boolean = {
+      val r = img.getRaster
+      r.getDataBuffer.getOffset == 0 && r.getDataBuffer.getSize == expectedLen &&
+        (r.getSampleModel match {
+          case sm: java.awt.image.ComponentSampleModel =>
+            sm.getScanlineStride == w * sm.getPixelStride
+          case sm: java.awt.image.SinglePixelPackedSampleModel =>
+            sm.getScanlineStride == w
+          case _ => false
+        })
+    }
     img.getType match {
       case BufferedImage.TYPE_3BYTE_BGR
-        if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] =>
+        if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+          packed(n * 3) =>
         val b = img.getRaster.getDataBuffer
           .asInstanceOf[java.awt.image.DataBufferByte].getData
         val px = new Array[Int](n)
@@ -70,7 +87,8 @@ object Imaging {
         }
         Raster(w, h, px)
       case BufferedImage.TYPE_INT_RGB | BufferedImage.TYPE_INT_ARGB
-        if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferInt] =>
+        if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferInt] &&
+          packed(n) =>
         val d = img.getRaster.getDataBuffer
           .asInstanceOf[java.awt.image.DataBufferInt].getData
         val px = new Array[Int](n)

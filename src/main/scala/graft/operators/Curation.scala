@@ -80,6 +80,11 @@ object Curation {
    * before the shuffle, so sampling a 100 TB corpus shuffles
    * O(groups · partitions · k) ids, never the corpus. No Window, no
    * per-group global sort.
+   *
+   * Returns the sampled ID LIST — (groupCols, idCol, rank), NOT the payload
+   * rows (ids-only output is what keeps the shuffle id-sized; same contract
+   * as the dedup keep-set ops). Use [[samplePerGroupRows]] to materialize
+   * the surviving rows with all their columns.
    */
   def samplePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                      k: Int): DataFrame = {
@@ -89,4 +94,11 @@ object Curation {
         ascending = true)
       .drop("__sample_key")
   }
+
+  /** [[samplePerGroup]] materialized: the input rows (full payload) whose id
+    * survived the per-group cap — one left-semi join against the id list. */
+  def samplePerGroupRows(df: DataFrame, groupCols: Seq[String], idCol: String,
+                         k: Int): DataFrame =
+    df.join(samplePerGroup(df, groupCols, idCol, k).select(idCol),
+      Seq(idCol), "left_semi")
 }

@@ -43,10 +43,18 @@ object Dedup {
     * can't resurrect the un-persisted lineage, and downstream iteration
     * (connected components) starts from materialized blocks. */
   private[graft] def withPersistedStage(stage: DataFrame)
-                                       (build: DataFrame => DataFrame): DataFrame = {
-    val cached = stage.persist(StorageLevel.MEMORY_AND_DISK)
+                                       (build: DataFrame => DataFrame): DataFrame =
+    withPersistedStages(Seq(stage))(s => build(s.head))
+
+  /** Multi-stage variant: persist ALL expensive stages, build, eagerly
+    * checkpoint the (small) result ONCE, unpersist. Nesting
+    * [[withPersistedStage]] would checkpoint the result at every level —
+    * one redundant materialization job per extra stage. */
+  private[graft] def withPersistedStages(stages: Seq[DataFrame])
+                                        (build: Seq[DataFrame] => DataFrame): DataFrame = {
+    val cached = stages.map(_.persist(StorageLevel.MEMORY_AND_DISK))
     try build(cached).localCheckpoint(true)
-    finally { cached.unpersist(blocking = false); () }
+    finally { cached.foreach(_.unpersist(blocking = false)); () }
   }
 
   /** Exact dedup groups: content key → representative id + duplicate count.
@@ -62,7 +70,10 @@ object Dedup {
     df.groupBy(xxhash64(col(textCol)).as("content_hash"),
         sha2(col(textCol), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
-      .select("content_hash", "keep_id", "n_dups")
+      // expose BOTH hashes: at ~billions of rows two distinct contents can
+      // birthday-collide on the 64-bit hash alone; content_sha disambiguates
+      // for any consumer keying on content identity
+      .select("content_hash", "content_sha", "keep_id", "n_dups")
 
   /** Exact-dedup filter: keep one row (min id) per distinct content. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -242,6 +253,11 @@ object Dedup {
    * Input/output contract identical to [[connectedComponents]].
    */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // keep the full node set: a node appearing ONLY in self-pairs (x, x) must
+    // still be emitted with group_id = itself, matching the propagation path
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct().localCheckpoint(true)
     var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
@@ -286,10 +302,13 @@ object Dedup {
     }
     require(stable,
       s"connectedComponentsStar: not converged after $maxRounds rounds")
-    // fixed point = min-rooted stars: every src points at its component min
-    edges.select(col("src").as("id"), col("dst").as("group_id"))
+    // fixed point = min-rooted stars: every src points at its component min;
+    // nodes with no non-self edge rejoin as their own singleton group
+    val grouped = edges.select(col("src").as("id"), col("dst").as("group_id"))
       .unionByName(edges.select(col("dst").as("id"), col("dst").as("group_id")))
       .groupBy("id").agg(min("group_id").as("group_id"))
+    nodes.join(grouped, Seq("id"), "left")
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("group_id"))
   }
 
   /** Curation materialization: drop every row whose id belongs to a group but
@@ -344,8 +363,9 @@ object Dedup {
         graft.functions.TextExpressions.word_shingles(col(text), shingleN,
           distinct = true).as("sh"))
         .where(size(col("sh")) > 0)
-    withPersistedStage(shingled(left, leftId, leftText, "id_l")) { l =>
-      withPersistedStage(shingled(right, rightId, rightText, "id_r")) { r =>
+    withPersistedStages(Seq(
+      shingled(left, leftId, leftText, "id_l"),
+      shingled(right, rightId, rightText, "id_r"))) { case Seq(l, r) =>
         val invL = capBuckets(
           l.select(col("id_l"), explode(col("sh")).as("shingle")),
           Seq("shingle"), maxShingleDf)
@@ -361,7 +381,6 @@ object Dedup {
               size(col("sh_r")))
           .where(col("containment") >= threshold)
           .select("id_l", "id_r", "containment")
-      }
     }
   }
 

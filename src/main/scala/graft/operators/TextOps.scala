@@ -34,6 +34,10 @@ object TextOps {
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
   /** Word n-gram shingles as space-joined strings; < n tokens → empty array. */
+  /** Interpreted-HOF shingling over an ARBITRARY token-array column — for
+    * composition with pre-tokenized inputs. Hot paths over raw text must use
+    * the native codegen'd `TextExpressions.word_shingles` instead (CLAUDE.md:
+    * per-shingle lambdas are interpreted per element). */
   def shingles(tokenArr: Column, n: Int): Column =
     when(size(tokenArr) < n, array().cast("array<string>"))
       .otherwise(transform(
@@ -53,7 +57,7 @@ object TextOps {
     * looped). Row-local (no shuffle); n-gram extraction is the native
     * word_shingles expression. */
   def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val sh = shingles(tokens(text), n)
+    val sh = graft.functions.TextExpressions.word_shingles(text, n)
     when(size(sh) <= lit(0), lit(0.0))
       .otherwise(lit(1.0) -
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))

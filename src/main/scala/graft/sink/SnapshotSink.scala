@@ -188,7 +188,10 @@ object SnapshotSink {
     val current = read(spark, table)
     val compacted =
       if (partitionCols.isEmpty) current.repartition(filesPerPartition)
-      else current.repartition(partitionCols.map(col): _*)
+      else if (filesPerPartition <= 1) current.repartition(partitionCols.map(col): _*)
+      else current.repartition( // up-to-k files per partition dir (hash split on the key)
+        partitionCols.map(col) :+
+          pmod(xxhash64(col(keyCol)), lit(filesPerPartition)): _*)
     append(compacted, table, keyCol, partitionCols,
       Map("compacts_through" -> head.id.toString))
   }

@@ -200,12 +200,14 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
-      (20L, 21L)).toDF("id_a", "id_b")
+      (20L, 21L),
+      (30L, 30L)).toDF("id_a", "id_b") // self-pair-only node: singleton group
     val got = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
     assert((1L to 6L).forall(got(_) == 1L))
     assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
     assert(got(20L) == 20L && got(21L) == 20L)
-    assert(got.size == 12)
+    assert(got(30L) == 30L, "self-pair node emitted, matching the propagation path")
+    assert(got.size == 13)
   }
 
   test("connectedComponents falls back to star contraction (never silently " +
