@@ -87,6 +87,18 @@ class CurationSpec extends AnyFunSuite {
     assert(again.sortBy(r => (r._1, r._3)).sameElements(rows.sortBy(r => (r._1, r._3))))
   }
 
+  test("samplePerGroupRows materializes exactly the sampled ids with full payload") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}", s"payload_$i"))
+      .toDF("id", "grp", "payload")
+    val ids = Curation.samplePerGroup(df, Seq("grp"), "id", 7)
+      .select("id").as[Long].collect().toSet
+    val rows = Curation.samplePerGroupRows(df, Seq("grp"), "id", 7)
+      .as[(Long, String, String)].collect()
+    assert(rows.length == 21)
+    assert(rows.map(_._1).toSet == ids)
+    rows.foreach { case (id, _, payload) => assert(payload == s"payload_$id") }
+  }
+
   test("samplePerGroup plans the bounded heap, not a Window") {
     val df = (0L until 50L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
     val plan = Curation.samplePerGroup(df, Seq("grp"), "id", 3)

@@ -60,6 +60,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1).isEmpty)
   }
 
+  test("repetitionRatio: 0 for unique trigrams, →1 for looped phrases, 0 for short docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                    // all trigrams unique → 0
+      (2L, "x y z x y z x y z x y z"),            // looped phrase → high
+      (3L, "one two"),                            // < 3 tokens → 0
+      (4L, "")                                    // empty → 0
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      graft.operators.TextOps.repetitionRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    def scalar(t: String): Double = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 3) 0.0
+      else {
+        val sh = toks.sliding(3).map(_.mkString(" ")).toSeq
+        1.0 - sh.distinct.size.toDouble / sh.size
+      }
+    }
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - scalar("x y z x y z x y z x y z")) < 1e-12 && got(2L) > 0.5)
+    assert(got(3L) == 0.0 && got(4L) == 0.0)
+  }
+
   test("qualityScore in [0,1]; punctuation/digit-heavy text scores lower") {
     val clean = "the quick brown fox jumps over the lazy dog again and again"
     val noisy = "1234 5678 !!!! ???? ;;;; 9999 0000 ,,.."
