@@ -266,7 +266,11 @@ object Bench {
     (1 to pipeReps).foreach { rep =>
       Seq(lowCpus, highCpus).foreach { c =>
         val spark = newSession(c)
-        awaitQuietHost()
+        // the scaling pair is THE throttle-sensitive metric — give these
+        // gates a longer recovery budget than the short query timings (a
+        // throttled rep is garbage either way; waiting only costs wall time
+        // in windows where measurement would be meaningless)
+        awaitQuietHost(maxWaitSec = 240)
         val t0 = System.nanoTime()
         rowsOut = runPipeline(spark, inputPath, modelDf(spark), bundles,
           work.resolve(s"out_${c}_$rep").toString, c)
@@ -287,7 +291,7 @@ object Bench {
       var best = Double.MaxValue
       var rows = 0L
       (1 to 2).foreach { rep =>
-        awaitQuietHost()
+        awaitQuietHost(maxWaitSec = 240)
         val t0 = System.nanoTime()
         rows = runPipeline(spark, inputPath, modelDf(spark), bundles,
           work.resolve(s"out_full_$rep").toString, cpus)

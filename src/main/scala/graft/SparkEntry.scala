@@ -97,6 +97,30 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Three-way join + grouped agg + ordered limit (TPC-H Q3 shape): the
+    // classic multi-join plan — two shuffle joins feeding a partial/final
+    // agg and a TakeOrderedAndProject.
+    "q_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-06-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-06-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("order_epoch"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(20, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }),
+
     // Left-anti join — the reference's idempotent-resume mechanism (F2,
     // ds/AbstractSearchStructure.java:537–546).
     "q_anti_join" -> ((s, dir) => {
@@ -697,6 +721,20 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |  CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS order_epoch,
+        |  o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
 
     "q_anti_join" ->
       """SELECT o_orderkey FROM orders
