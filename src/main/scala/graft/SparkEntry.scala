@@ -687,6 +687,22 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // The same radius search expressed ENTIRELY as SQL text through the
+    // registered function surface (GraftExtensions) — the driver-checked
+    // proof that a SQL-only user gets the same engine: vec_cosine resolves
+    // through the FunctionRegistry, plans codegen'd, results hash-equal.
+    "q_sql_embed_range" -> ((s, dir) => {
+      graft.functions.VectorExpressions.registerAll(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb")
+      s.sql("""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(vec_cosine(q.embedding, c.embedding), 6) AS cosine
+        FROM graft_emb q JOIN graft_emb c
+          ON q.vec_id < 3 AND q.vec_id <> c.vec_id
+        WHERE vec_cosine(q.embedding, c.embedding) >= 0.25
+        ORDER BY query_id, neighbor_id""")
+    }),
+
     // Embedding near-dup pairs via hyperplane LSH + exact-cosine verify.
     // Injected exact duplicates hash identically ⇒ recall 1.0 for them, so
     // the SQL brute-force pairs (cosine ≥ 0.999) are a true oracle.
@@ -1150,6 +1166,13 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_range" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROUND(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+        |FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id
+        |WHERE CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE) >= 0.25
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_sql_embed_range" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  ROUND(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
         |FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id
