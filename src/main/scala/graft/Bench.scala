@@ -120,7 +120,10 @@ object Bench {
     * output JSON (cpu_probe_best/worst_ms, throttle_wait_sec) and waiting
     * never speeds up the measured job itself. */
   private var totalWaitSec = 0.0
-  private def awaitQuietHost(maxWaitSec: Int = 120): Unit = {
+  /** Returns true when the host looked quiet when the gate released (probe
+    * within 1.4x of the best/floor) — false means the following measurement
+    * ran throttled and should be treated as tainted. */
+  private def awaitQuietHost(maxWaitSec: Int = 120): Boolean = {
     var p = cpuProbeMs()
     bestProbeMs = math.min(bestProbeMs, p)
     worstProbeMs = math.max(worstProbeMs, p)
@@ -132,6 +135,7 @@ object Bench {
       bestProbeMs = math.min(bestProbeMs, p)
       worstProbeMs = math.max(worstProbeMs, p)
     }
+    p <= bestProbeMs * 1.4
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,14 +267,17 @@ object Bench {
       spark.stop()
     }
     val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "3").toInt
-    (1 to pipeReps).foreach { rep =>
+    var cleanPairs = 0
+    var pairsRun = 0
+    def runPair(rep: Int): Unit = {
+      var pairClean = true
       Seq(lowCpus, highCpus).foreach { c =>
         val spark = newSession(c)
         // the scaling pair is THE throttle-sensitive metric — give these
         // gates a longer recovery budget than the short query timings (a
         // throttled rep is garbage either way; waiting only costs wall time
         // in windows where measurement would be meaningless)
-        awaitQuietHost(maxWaitSec = 240)
+        if (!awaitQuietHost(maxWaitSec = 240)) pairClean = false
         val t0 = System.nanoTime()
         rowsOut = runPipeline(spark, inputPath, modelDf(spark), bundles,
           work.resolve(s"out_${c}_$rep").toString, c)
@@ -279,7 +286,21 @@ object Bench {
         best(c) = math.min(best(c), sec)
         spark.stop()
       }
+      pairsRun += 1
+      if (pairClean) cleanPairs += 1
     }
+    (1 to pipeReps).foreach(runPair)
+    // a sustained throttle window can taint EVERY planned pair — min-of-3
+    // over poisoned reps still records a poisoned ratio (rounds 1-2 missed
+    // the 0.8 target exactly this way). Run up to 2 extra interleaved pairs
+    // until at least one pair measured on a quiet host; recorded honestly in
+    // pipeline_pairs_run / pipeline_clean_pairs.
+    while (cleanPairs == 0 && pairsRun < pipeReps + 2) {
+      logPhase(s"all $pairsRun scaling pairs ran throttled; retrying")
+      runPair(pairsRun + 1)
+    }
+    results("pipeline_pairs_run") = pairsRun.toDouble
+    results("pipeline_clean_pairs") = cleanPairs.toDouble
     results("pipeline_cN_sec") = best(lowCpus)
     results("pipeline_cN_vec_per_sec") = rowsOut / best(lowCpus)
     results("pipeline_c4N_sec") = best(highCpus)
