@@ -62,6 +62,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("AQE skew-join: a hot key's partition is split at runtime " +
+    "(skew=true in the adaptive final plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carries ~90% of the rows with a fat payload; the right
+      // side is too big to broadcast (threshold disabled) → sort-merge join
+      // whose hot post-shuffle partition AQE must split
+      // payload must be incompressible — shuffle bytes are lz4'd and the
+      // skew threshold compares COMPRESSED partition sizes
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 10 =!= 0, col("id") % 50 + 1).otherwise(0L).as("k"),
+          concat(md5(col("id").cast("string")),
+            md5(concat(col("id").cast("string"), lit("a"))),
+            md5(concat(col("id").cast("string"), lit("b"))),
+            md5(concat(col("id").cast("string"), lit("c")))).as("payload"))
+      val right = spark.range(0, 51).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("name"))
+      val joined = left.join(right, "k")
+      // drive THIS queryExecution (count() would plan a separate one) so the
+      // AdaptiveSparkPlan re-optimizes with runtime sizes and finalizes
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the hot partition for skew split:\n" + finalPlan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("text operators stay inside whole-stage codegen (no UDF barrier)") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"),
