@@ -1004,6 +1004,31 @@ object SparkEntry {
         |SELECT ngram, COUNT(*) AS n FROM grams
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
+    // langId replicated in SQL: same stopword lists, same distinct-hit
+    // counts, same tie-break (argmax with ties to the lexicographically
+    // GREATEST language code — the struct array_max ordering).
+    "q_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS dt
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(dt, ['der','die','das','und','ist','ein','nicht','mit'])) AS h_de,
+        |    len(list_intersect(dt, ['the','a','of','and','to','in','is','it'])) AS h_en,
+        |    len(list_intersect(dt, ['el','la','de','y','es','un','una','no'])) AS h_es,
+        |    len(list_intersect(dt, ['le','la','de','et','est','un','une','pas'])) AS h_fr,
+        |    len(list_intersect(dt, ['的','是','了','在','我','有','和','不'])) AS h_zh
+        |  FROM toks
+        |)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |  WHEN h_zh >= greatest(h_de, h_en, h_es, h_fr) THEN 'zh'
+        |  WHEN h_fr >= greatest(h_de, h_en, h_es) THEN 'fr'
+        |  WHEN h_es >= greatest(h_de, h_en) THEN 'es'
+        |  WHEN h_en >= h_de THEN 'en'
+        |  ELSE 'de' END AS lang_pred
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
     "q_rare_tokens" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
