@@ -451,7 +451,8 @@ object SparkEntry {
         .orderBy(col("n").desc, col("ngram")).limit(20)
     }),
 
-    // Language-ID heuristic (no SQL oracle — verified by ScalaTest spec).
+    // Language-ID heuristic (oracle replays the stopword-hit arithmetic in
+    // SQL; TextOpsSpec covers the kernel).
     "q_langid" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
@@ -537,19 +538,23 @@ object SparkEntry {
     // a two-phase corpus statistic (DF aggregate → join back), unlike the
     // row-local text scores. Integer-valued, so the oracle is FP-robust.
     "q_rare_tokens" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      // the tokenize+explode stage feeds BOTH the doc-frequency aggregate and
+      // the occurrence-count join — persist it once (withPersistedStage rule)
+      // so the corpus is tokenized a single time
+      val tokStage = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      val df = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
-      val rare = df.where(col("doc_freq") <= 2).select("tok")
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(
-          toks.join(rare, Seq("tok"), "left_semi")
-            .groupBy("doc_id").agg(count(lit(1)).as("n_rare")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
-        .orderBy("doc_id")
+      Dedup.withPersistedStage(tokStage) { toks =>
+        val df = toks.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+        val rare = df.where(col("doc_freq") <= 2).select("tok")
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(
+            toks.join(rare, Seq("tok"), "left_semi")
+              .groupBy("doc_id").agg(count(lit(1)).as("n_rare")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      }.orderBy("doc_id")
     }),
 
     // Benchmark decontamination: drop training docs containing ≥80% of a
@@ -633,8 +638,9 @@ object SparkEntry {
     // structure (coarse quantize → PQ-encode residuals → probed ADC scan,
     // ds/IVFPQ.java:100–117, 408–450) end-to-end on embeddings. Deterministic
     // models minted from the corpus head (centroids = first 8 vectors; PQ
-    // sub-centroids = sub-blocks of the first 16). Rows-only: ADC parity vs
-    // the scalar kernels is the SimilaritySpec gate.
+    // sub-centroids = sub-blocks of the first 16). Oracle-checked: the DuckDB
+    // SQL replays coarse argmin → residual (c−x) → per-sub-block encode → LUT
+    // sums with list arithmetic; SimilaritySpec covers the scalar kernels.
     "q_embed_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val head = emb.where(col("vec_id") < 16).orderBy("vec_id")
@@ -660,7 +666,8 @@ object SparkEntry {
 
     // Exact-vs-approx recall diagnostic (J5, exm/Example.java:155–182): the
     // per-query overlap of Linear vs IVF top-k — makes ANN quality a
-    // driver-visible number (rows-only; threshold asserted in SimilaritySpec).
+    // hash-checked number (oracle recomputes both top-k sets and the overlap
+    // in SQL; threshold additionally asserted in SimilaritySpec).
     "q_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
@@ -1214,6 +1221,126 @@ object SparkEntry {
         |  ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
         |FROM all_emb a JOIN all_emb b ON a.vec_id < b.vec_id
         |WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE) >= 0.999
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // IVF recall@k replayed in SQL: coarse assignment + probe selection are
+    // squared-L2 argmin (tie → lower centroid id, matching the kernel's strict
+    // `<` scan); exact and probed top-k both rank by (cosine DESC, id ASC).
+    "q_ann_recall" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT nid AS cid, v AS cv FROM corpus WHERE nid < 8
+        |), assign AS (
+        |  SELECT nid, cid AS list_id FROM (
+        |    SELECT c.nid, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.nid ORDER BY
+        |        list_sum(list_transform(c.v, (x, i) -> (x - ct.cv[i]) * (x - ct.cv[i]))) ASC,
+        |        ct.cid ASC) AS rn
+        |    FROM corpus c CROSS JOIN cents ct)
+        |  WHERE rn = 1
+        |), queries AS (
+        |  SELECT nid AS query_id, v AS qv FROM corpus WHERE nid < 5
+        |), probes AS (
+        |  SELECT query_id, cid AS list_id FROM (
+        |    SELECT q.query_id, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(q.qv, (x, i) -> (x - ct.cv[i]) * (x - ct.cv[i]))) ASC,
+        |        ct.cid ASC) AS rn
+        |    FROM queries q CROSS JOIN cents ct)
+        |  WHERE rn <= 3
+        |), exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.nid AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(q.qv, c.v) DESC, c.nid ASC) AS rank
+        |    FROM queries q JOIN corpus c ON q.query_id <> c.nid)
+        |  WHERE rank <= 10
+        |), approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.nid AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(q.qv, c.v) DESC, c.nid ASC) AS rank
+        |    FROM queries q
+        |    JOIN probes p ON p.query_id = q.query_id
+        |    JOIN assign a ON a.list_id = p.list_id
+        |    JOIN corpus c ON c.nid = a.nid AND c.nid <> q.query_id)
+        |  WHERE rank <= 10
+        |), hits AS (
+        |  SELECT e.query_id, COUNT(*) AS n_overlap
+        |  FROM exact e JOIN approx ap
+        |    ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
+        |  GROUP BY e.query_id
+        |)
+        |SELECT ke.query_id, ke.k_exact, COALESCE(h.n_overlap, 0) AS n_overlap,
+        |  ROUND(COALESCE(h.n_overlap, 0) / 10.0, 6) AS recall_at_k
+        |FROM (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id) ke
+        |LEFT JOIN hits h ON h.query_id = ke.query_id
+        |ORDER BY ke.query_id""".stripMargin,
+
+    // IVFADC end-to-end in SQL (ds/IVFPQ.java:100–117, 408–450 semantics):
+    // models are deterministic corpus-head slices (centroids = first 8
+    // vectors; PQ sub-centroid i of block j = dims [8j, 8j+8) of head vector
+    // i). Encode: coarse argmin → residual r = c − x → per-block argmin.
+    // Search: 4 probed lists per query; adc = Σ_j ‖(c_list − q)_block_j −
+    // sub_centroid[code_j]‖²; top-10 by (adc ASC, id ASC). Ties resolve to the
+    // lower index via the (dist ASC, id ASC) ROW_NUMBER ordering, matching
+    // the kernels' strict-`<` scans.
+    "q_embed_ivfpq" ->
+      """WITH head AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 16
+        |), cents AS (
+        |  SELECT vec_id AS cid, v AS cv FROM head WHERE vec_id < 8
+        |), pqc AS (
+        |  SELECT j.j, h.vec_id AS i, h.v[j.j * 8 + 1 : j.j * 8 + 8] AS sub
+        |  FROM head h CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+        |), corpus AS (
+        |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), assign AS (
+        |  SELECT nid, v, cid AS list_id, cv FROM (
+        |    SELECT c.nid, c.v, ct.cid, ct.cv,
+        |      ROW_NUMBER() OVER (PARTITION BY c.nid ORDER BY
+        |        list_sum(list_transform(c.v, (x, i) -> (x - ct.cv[i]) * (x - ct.cv[i]))) ASC,
+        |        ct.cid ASC) AS rn
+        |    FROM corpus c CROSS JOIN cents ct)
+        |  WHERE rn = 1
+        |), resid AS (
+        |  SELECT nid, list_id, list_transform(v, (x, i) -> cv[i] - x) AS r FROM assign
+        |), codes AS (
+        |  SELECT nid, list_id, j, i AS code FROM (
+        |    SELECT r.nid, r.list_id, p.j, p.i,
+        |      ROW_NUMBER() OVER (PARTITION BY r.nid, p.j ORDER BY
+        |        list_sum(list_transform(p.sub, (x, i) -> (r.r[p.j * 8 + i] - x) * (r.r[p.j * 8 + i] - x))) ASC,
+        |        p.i ASC) AS rn
+        |    FROM resid r CROSS JOIN pqc p)
+        |  WHERE rn = 1
+        |), queries AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM head WHERE vec_id < 3
+        |), probes AS (
+        |  SELECT query_id, cid AS list_id, cv FROM (
+        |    SELECT q.query_id, ct.cid, ct.cv,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(q.qv, (x, i) -> (x - ct.cv[i]) * (x - ct.cv[i]))) ASC,
+        |        ct.cid ASC) AS rn
+        |    FROM queries q CROSS JOIN cents ct)
+        |  WHERE rn <= 4
+        |), qresid AS (
+        |  SELECT p.query_id, p.list_id, list_transform(q.qv, (x, i) -> p.cv[i] - x) AS qr
+        |  FROM probes p JOIN queries q ON q.query_id = p.query_id
+        |), cand AS (
+        |  SELECT qr.query_id, cd.nid AS neighbor_id, cd.list_id,
+        |    SUM(list_sum(list_transform(p.sub, (x, i) -> (qr.qr[cd.j * 8 + i] - x) * (qr.qr[cd.j * 8 + i] - x)))) AS adc
+        |  FROM codes cd
+        |  JOIN pqc p ON p.j = cd.j AND p.i = cd.code
+        |  JOIN qresid qr ON qr.list_id = cd.list_id
+        |  GROUP BY qr.query_id, cd.nid, cd.list_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, list_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+        |  FROM cand
+        |)
+        |SELECT query_id, neighbor_id, CAST(list_id AS INT) AS list_id, ROUND(adc, 6) AS adc_dist
+        |FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, adc_dist, neighbor_id""".stripMargin
   )
 }
