@@ -128,12 +128,30 @@ object Bench {
     bestProbeMs = math.min(bestProbeMs, p)
     worstProbeMs = math.max(worstProbeMs, p)
     var waited = 0
+    val band = scala.collection.mutable.ArrayBuffer[Double](p)
     while (p > bestProbeMs * 1.4 && waited < maxWaitSec) {
       logPhase(f"host throttled (probe $p%.0f ms vs best $bestProbeMs%.0f ms); idling 15 s")
       Thread.sleep(15000); waited += 15; totalWaitSec += 15
       p = cpuProbeMs()
       bestProbeMs = math.min(bestProbeMs, p)
       worstProbeMs = math.max(worstProbeMs, p)
+      band += p
+      // floor auto-relax: ≥4 consecutive probes in a tight band (±15%) well
+      // above the floor is the signature of a steadily SLOWER host, not of a
+      // throttle window (throttle probes on the reference VM swing 10–20×
+      // and recover within the wait budget). Adopt the band minimum as the
+      // quiet baseline so a slower host doesn't idle maxWaitSec at every
+      // gate and report every pair tainted; the relaxed value is visible in
+      // the recorded cpu_probe_best_ms.
+      if (band.sizeIs >= 4) {
+        val recent = band.takeRight(4)
+        if (recent.max <= recent.min * 1.15) {
+          logPhase(f"probe floor auto-relaxed to ${recent.min}%.0f ms " +
+            f"(4 probes in [${recent.min}%.0f, ${recent.max}%.0f] ms vs " +
+            f"floor $bestProbeMs%.0f ms)")
+          bestProbeMs = recent.min
+        }
+      }
     }
     p <= bestProbeMs * 1.4
   }

@@ -123,6 +123,28 @@ object Learning {
   def lloydKMeansSingle(vectors: DataFrame, k: Int, iterations: Int = 8): Array[Array[Double]] =
     lloydKMeans(vectors.withColumn("block", lit(0)), k, iterations)(0)
 
+  /**
+   * Seeded deterministic sample of `n` local descriptors to feed codebook /
+   * PQ learning — the reference's SampleLocalFeatures utility
+   * (qnt/SampleLocalFeatures.java:35–107: seeded rejection sampling of
+   * `targetNumFeatures` descriptors from the extracted-feature files; a
+   * different seed per sample index). Spark re-expression: rank every row by
+   * xxhash64(seed, descriptor) and keep the `n` smallest — a
+   * uniform-without-replacement sample whose membership is a pure function of
+   * (seed, content), so it is reproducible across partitionings, cluster
+   * sizes and re-runs (`df.sample` is per-partition Bernoulli and is not).
+   * Plans as TakeOrderedAndProject: map-side bounded heaps, no global sort.
+   * All input columns are preserved.
+   */
+  def sampleDescriptors(df: DataFrame, n: Int, seed: Long,
+                        vecCol: String = "vec"): DataFrame = {
+    // content identity via the exact decimal rendering (same trick as the
+    // k-means init); the key doubles as the hash-collision tie-break so the
+    // selected SET is totally determined
+    val key = concat_ws(",", transform(col(vecCol), _.cast("string")))
+    df.orderBy(xxhash64(lit(seed), key), key).limit(n)
+  }
+
   /** Above this input dimensionality [[learnPca]] routes to the
     * covariance-free distributed path (d×d doubles at 2048 = 32 MB — the
     * exact-Gram path stays cheap below it, and the flagship 32768-dim config

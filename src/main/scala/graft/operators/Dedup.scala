@@ -212,12 +212,21 @@ object Dedup {
           .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("label")).as("nbr_min"))
+        // convergence check rides the checkpoint job itself via observe():
+        // CollectMetrics counts improved labels while the sweep materializes,
+        // so a sweep costs ONE job, not a sweep job + a check job
+        val obs = org.apache.spark.sql.Observation()
         val next = labels
           .join(msgs, Seq("id"), "left")
           .select(col("id"), col("label").as("__old"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .observe(obs, count(when(col("label") < col("__old"), lit(1))).as("changed"))
           .localCheckpoint(true)
-        converged = next.where(col("label") < col("__old")).isEmpty
+        converged = org.apache.spark.sql.GraftBridge.observationRow(obs, 2000L)
+          .map(_.getAs[Long]("changed") == 0L)
+          // metrics listener missed the checkpoint action (defensive — pay
+          // the old explicit check against the now-cached sweep)
+          .getOrElse(next.where(col("label") < col("__old")).isEmpty)
         labels = next.select("id", "label")
         iter += 1
       }

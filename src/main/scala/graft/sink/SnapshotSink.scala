@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
  * would be a thin adapter over this seam).
  *
  * Guarantees:
- *  - atomic commit: data lands in `_staging/<uuid>` and is renamed into the
- *    table before the manifest (the commit point) is written — readers only
- *    see fully-written snapshots (the reference's single-writer BDB sink,
- *    ds/AbstractSearchStructure.java:229–257, becomes concurrent partitioned
- *    file commits with a manifest-last protocol);
+ *  - atomic RENAME-FREE commit: tasks write their final paths directly — each
+ *    snapshot owns a unique `_snapdir=snap{N}-<uuid>/` subtree under the table
+ *    root, and the manifest (the commit point) lists exactly the files that
+ *    subtree produced. No driver-side file moves ever happen, so commit cost
+ *    does not scale with file count (at a 10⁵-file commit a move loop — even
+ *    16-wide — is the bottleneck; real table formats avoid renames entirely).
+ *    A crash before the manifest leaves an unreferenced subtree that readers
+ *    never see; [[vacuumOrphans]] sweeps it. (The reference's single-writer
+ *    BDB sink, ds/AbstractSearchStructure.java:229–257, becomes concurrent
+ *    partitioned file commits with a manifest-last protocol.)
  *  - resume: `appendMissing` left-anti-joins the input against already-
  *    committed keys (the F2 already-indexed dedup,
  *    ds/AbstractSearchStructure.java:537–546);
@@ -36,6 +41,10 @@ object SnapshotSink {
       lineage: Map[String, String])
 
   private def snapshotsDir(table: String): Path = Paths.get(table, "_snapshots")
+
+  /** Synthetic partition column carrying the snapshot-unique data-subtree
+    * name; written into paths by [[append]], dropped by readers. */
+  private val snapDirCol = "_snapdir"
 
   /** Materialize a directory listing and CLOSE the stream (Files.list leaks a
     * directory fd otherwise — it accumulates in a long-lived driver). */
@@ -78,49 +87,50 @@ object SnapshotSink {
     val t0 = System.currentTimeMillis()
     val parent = lastSnapshot(table)
     val snapId = parent.map(_.id + 1).getOrElse(1)
-    val staging = Paths.get(table, "_staging", java.util.UUID.randomUUID().toString)
-    Files.createDirectories(staging)
-
-    df.write.mode("overwrite")
-      .partitionBy(partitionCols: _*)
-      .parquet(staging.toString)
-    val tWrite = System.currentTimeMillis()
-
-    // move staged files into the table tree under a snapshot-unique suffix.
-    // Moves and footer reads run on a driver-side pool: a commit touches one
-    // file per (partition × writer task) — serially that is the job's fixed
-    // cost and caps scaling once executors outnumber driver IOPS.
     val tableRoot = Paths.get(table)
     Files.createDirectories(tableRoot)
-    val staged = walkFiles(staging)
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-    staged.map(_.getParent).distinct.foreach { parent =>
-      val rel = staging.relativize(parent).toString
-      Files.createDirectories(if (rel.isEmpty) tableRoot else tableRoot.resolve(rel))
-    }
-    val moved: Seq[String] = inParallel(staged) { p =>
-      val rel = staging.relativize(p.getParent).toString // partition subdirs
-      val destDir = if (rel.isEmpty) tableRoot else tableRoot.resolve(rel)
-      val dest = destDir.resolve(s"snap$snapId-${p.getFileName}")
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      tableRoot.relativize(dest).toString
-    }
-    deleteRecursively(staging)
 
-    // per-partition row counts from parquet footers (driver metadata pass —
-    // no extra Spark job; footer read is O(files), not O(rows))
+    // rename-free: tasks write FINAL paths directly into a snapshot-unique
+    // subtree. The subtree is itself named as a partition dir
+    // (`_snapdir=snap{N}-<uuid>`) so that multi-snapshot reads present ONE
+    // consistent directory structure to partition inference (a non-k=v dir
+    // level would make each snapshot its own conflicting partition root);
+    // readers drop the synthetic `_snapdir` column. The `_` prefix hides the
+    // subtree from naive recursive discovery, and until the manifest below is
+    // written nothing references these files — a crashed attempt is invisible
+    // and [[vacuumOrphans]] reclaims it.
+    val dataDir = tableRoot.resolve(
+      s"$snapDirCol=snap$snapId-${java.util.UUID.randomUUID().toString}")
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(dataDir.toString)
+    val tWrite = System.currentTimeMillis()
+
+    val written: Seq[String] = walkFiles(dataDir)
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => tableRoot.relativize(p).toString)
+
+    // per-partition row counts from parquet footers — metadata-only, O(files)
+    // not O(rows). Small commits read footers on a bounded driver pool; above
+    // the threshold the footer pass runs as a distributed Spark job so no
+    // O(files) driver loop survives at a 10⁵-file commit.
     val counts: Seq[(String, Long)] =
-      inParallel(moved)(f => f -> parquetRowCount(tableRoot.resolve(f)))
+      if (written.sizeIs <= driverFooterThreshold)
+        inParallel(written)(f => f -> parquetRowCount(tableRoot.resolve(f)))
+      else distributedRowCounts(spark, tableRoot, written)
     val partCounts: Map[String, Long] = counts
       .groupBy { case (f, _) =>
         val dir = Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
-        // "salt=3/salt2=…" → "3/…" (values only, matching groupBy output)
-        dir.split("/").filter(_.contains("=")).map(_.split("=", 2)(1)).mkString("/")
+        // "salt=3/salt2=…" → "3/…" (values only, matching groupBy output);
+        // the synthetic snapshot-dir level is not a data partition
+        dir.split("/")
+          .filter(s => s.contains("=") && !s.startsWith(snapDirCol + "="))
+          .map(_.split("=", 2)(1)).mkString("/")
       }
       .map { case (part, fs) => part -> fs.map(_._2).sum }
     val rowCount = partCounts.values.sum
 
-    val snap = Snapshot(snapId, parent.map(_.id).getOrElse(0), moved.toSeq, rowCount,
+    val snap = Snapshot(snapId, parent.map(_.id).getOrElse(0), written, rowCount,
       partCounts, keyCol,
       lineage ++ Map(
         "commit_millis" -> (System.currentTimeMillis() - t0).toString,
@@ -152,7 +162,7 @@ object SnapshotSink {
     require(snaps.nonEmpty, s"no snapshots in $table at or before v$asOf")
     val root = Paths.get(table)
     val files = activeFiles(snaps).map(f => root.resolve(f).toString)
-    spark.read.option("basePath", table).parquet(files: _*)
+    spark.read.option("basePath", table).parquet(files: _*).drop(snapDirCol)
   }
 
   /** Files visible for the state defined by `snaps` (ids ≤ some asOf):
@@ -212,11 +222,39 @@ object SnapshotSink {
     val obsolete = snaps.filter(_.id <= horizon)
     val root = Paths.get(table)
     val deleted = obsolete.flatMap { s =>
-      val gone = s.files.filter(f => Files.deleteIfExists(root.resolve(f)))
+      // manifest FIRST (the commit point of expiry): a crash mid-vacuum then
+      // leaves data files with no manifest — invisible, reclaimed by a re-run
+      // or [[vacuumOrphans]] — never a manifest referencing deleted files,
+      // which would turn time travel at the horizon into a missing-parquet
+      // error instead of a clean expiry signal.
       Files.deleteIfExists(snapshotsDir(table).resolve(s"v${s.id}.json"))
-      gone
+      s.files.filter(f => Files.deleteIfExists(root.resolve(f)))
     }
     deleted
+  }
+
+  /**
+   * Sweep data subtrees no manifest references — the leftovers of append
+   * attempts that crashed before their manifest (their files were never
+   * visible). Only subtrees whose embedded snapshot id is ≤ the committed
+   * head are candidates: an id above the head may be an IN-FLIGHT append
+   * (single-writer protocol), so it is never touched. Returns deleted dirs.
+   */
+  def vacuumOrphans(table: String): Seq[String] = {
+    val root = Paths.get(table)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val head = lastSnapshot(table).map(_.id).getOrElse(0)
+    val referenced = allSnapshots(table).flatMap(_.files)
+    val DataDir = (java.util.regex.Pattern.quote(snapDirCol) + "=snap(\\d+)-.*").r
+    listDir(root).flatMap { p =>
+      p.getFileName.toString match {
+        case name @ DataDir(id) if id.toInt <= head &&
+            !referenced.exists(_.startsWith(name + "/")) =>
+          deleteRecursively(p)
+          Some(name)
+        case _ => None
+      }
+    }
   }
 
   def allSnapshots(table: String): Seq[Snapshot] = {
@@ -248,8 +286,28 @@ object SnapshotSink {
     else Some(append(fresh, table, keyCol, partitionCols, lineage))
   }
 
+  /** Commits with at most this many files read footers on the driver pool;
+    * larger commits run the footer pass as a distributed Spark job. Test
+    * override via -Dgraft.snapshot.driverCountThreshold. */
+  private def driverFooterThreshold: Int =
+    sys.props.get("graft.snapshot.driverCountThreshold").map(_.toInt).getOrElse(256)
+
+  /** Per-file row counts as a Spark job: the file list is itself distributed
+    * and each executor reads its footers — no O(files) driver loop, which is
+    * what a 10⁵-file commit needs. */
+  private def distributedRowCounts(spark: SparkSession, root: Path,
+                                   files: Seq[String]): Seq[(String, Long)] = {
+    val rootStr = root.toString
+    import spark.implicits._
+    spark.createDataset(files)
+      .repartition(math.min(files.size,
+        spark.sparkContext.defaultParallelism * 2))
+      .map(f => (f, parquetRowCount(Paths.get(rootStr, f))))
+      .collect().toSeq
+  }
+
   /** Order-preserving parallel map on a bounded driver pool (commit metadata
-    * I/O: file moves + footer reads). */
+    * I/O: small-commit footer reads). */
   private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.sizeIs <= 1) return items.map(f)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -72,7 +72,17 @@ object StreamingOps {
     * replayed after a crash is idempotent. This is exactly-once delivery by
     * key built from at-least-once micro-batches + the anti-join, with
     * per-batch lineage recorded in each snapshot manifest. Returns the
-    * started query; caller owns its lifecycle. */
+    * started query; caller owns its lifecycle.
+    *
+    * Cost model for long-lived streams: the anti-join probes ALL committed
+    * keys, so per-batch cost grows O(table) over the stream's lifetime. That
+    * is the price of the cross-run contract (dedup against EVERY earlier
+    * batch and every earlier run — Structured Streaming's own batchId dedup
+    * only covers replays of the same query). When keys are known to arrive
+    * within a bounded window, scope the probe: partition the table by a key
+    * range/time bucket and anti-join against `readAsOf` of only the live
+    * partitions, or periodically [[graft.sink.SnapshotSink.compact]] so the
+    * key scan stays one well-packed file set. */
   def sinkToSnapshot(stream: DataFrame, table: String, keyCol: String,
                      partitionCols: Seq[String],
                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

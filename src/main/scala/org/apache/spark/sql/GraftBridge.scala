@@ -12,4 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Bounded read of an [[Observation]]'s metrics (`Observation.future` is
+    * `private[sql]`): Some(row) if the observed action's metrics arrived
+    * within `timeoutMs`, else None. Lets callers fuse a convergence count
+    * into an eager localCheckpoint job and still degrade gracefully if the
+    * metrics listener misses the action. */
+  def observationRow(obs: Observation, timeoutMs: Long): Option[Row] =
+    try Some(scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)))
+    catch { case _: java.util.concurrent.TimeoutException => None }
 }

@@ -20,6 +20,27 @@ class LearningSpec extends AnyFunSuite {
     Array(c(0) + rnd.nextGaussian() * 0.3, c(1) + rnd.nextGaussian() * 0.3)
   }
 
+  test("sampleDescriptors: same seed ⇒ same sample across partitionings; " +
+    "different seed ⇒ different sample; feeds codebook learning " +
+    "(qnt/SampleLocalFeatures.java)") {
+    val df = points.map(p => Tuple1(p)).toDF("vec")
+    def ids(d: org.apache.spark.sql.DataFrame, n: Int, seed: Long): Seq[Seq[Double]] =
+      Learning.sampleDescriptors(d, n, seed).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq.sortBy(_.mkString(","))
+    val a = ids(df.repartition(1), 50, seed = 1L)
+    val b = ids(df.repartition(7), 50, seed = 1L)
+    assert(a.size == 50 && a == b, "sample must be partitioning-independent")
+    val c = ids(df, 50, seed = 2L)
+    assert(a != c, "different seed must give a different sample")
+    // the sampled descriptors train a codebook without modification
+    val cents = Learning.lloydKMeansSingle(
+      Learning.sampleDescriptors(df, 150, seed = 3L), k = 3, iterations = 4)
+    assert(cents.length == 3 && cents.forall(_.length == 2))
+    // rejection-sampled subset: every sampled row is an input row
+    val inputSet = points.map(_.toSeq).toSet
+    assert(a.forall(inputSet.contains))
+  }
+
   test("lloydKMeans recovers separated clusters and is partitioning-invariant") {
     def run(parts: Int) = {
       val df = spark.createDataFrame(

@@ -116,10 +116,59 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.allSnapshots(table).map(_.id) == Seq(comp.id, comp.id + 1))
     assert(SnapshotSink.read(spark, table).count() == 40)
     assert(SnapshotSink.readAsOf(spark, table, comp.id).count() == 30)
+    // expiry integrity: no surviving manifest references a deleted file
+    // (vacuum deletes each manifest BEFORE its data files, so a crash
+    // mid-vacuum can never leave a manifest pointing at missing parquet)
+    val root = java.nio.file.Paths.get(table)
+    SnapshotSink.allSnapshots(table).flatMap(_.files).foreach { f =>
+      assert(Files.exists(root.resolve(f)), s"manifest references deleted $f")
+    }
     // vacuum with no compaction at/below the horizon deletes nothing
     val table2 = tmpTable()
     SnapshotSink.append(data(0 until 10), table2, "id", Seq("part"))
     assert(SnapshotSink.vacuum(table2, retainAsOf = 1).isEmpty)
+  }
+
+  test("crash simulation: a data subtree with no manifest is invisible; " +
+    "vacuumOrphans reclaims it but never touches an in-flight id") {
+    val table = tmpTable()
+    val snap = SnapshotSink.append(data(0 until 10), table, "id", Seq("part"))
+    val root = java.nio.file.Paths.get(table)
+    // fake a crashed attempt for the SAME snapshot id (write finished, no
+    // manifest): real parquet bytes, so a leak would change row counts
+    val realFile = root.resolve(snap.files.head)
+    val orphan = root.resolve("_snapdir=snap1-orphan/part=0")
+    Files.createDirectories(orphan)
+    Files.copy(realFile, orphan.resolve("part-junk.parquet"))
+    // and a dir that looks like an IN-FLIGHT append (id > committed head)
+    val inflight = root.resolve("_snapdir=snap2-inflight/part=0")
+    Files.createDirectories(inflight)
+    Files.copy(realFile, inflight.resolve("part-junk.parquet"))
+    // readers never see either
+    assert(SnapshotSink.read(spark, table).count() == 10)
+    assert(SnapshotSink.allSnapshots(table).map(_.id) == Seq(1))
+    // orphan (id <= head, unreferenced) swept; in-flight (id > head) kept
+    val swept = SnapshotSink.vacuumOrphans(table)
+    assert(swept == Seq("_snapdir=snap1-orphan"))
+    assert(!Files.exists(root.resolve("_snapdir=snap1-orphan")))
+    assert(Files.exists(inflight))
+    assert(SnapshotSink.read(spark, table).count() == 10)
+    // once snapshot 2 commits, the stale attempt for id 2 becomes sweepable
+    SnapshotSink.append(data(10 until 15), table, "id", Seq("part"))
+    assert(SnapshotSink.vacuumOrphans(table) == Seq("_snapdir=snap2-inflight"))
+    assert(SnapshotSink.read(spark, table).count() == 15)
+  }
+
+  test("large commits take the distributed footer-count path (no O(files) " +
+    "driver loop) with identical lineage counts") {
+    val table = tmpTable()
+    sys.props("graft.snapshot.driverCountThreshold") = "0"
+    try {
+      val snap = SnapshotSink.append(data(0 until 100), table, "id", Seq("part"))
+      assert(snap.rowCount == 100)
+      assert(snap.partitionRowCounts == Map(
+        "0" -> 25L, "1" -> 25L, "2" -> 25L, "3" -> 25L))
+    } finally sys.props.remove("graft.snapshot.driverCountThreshold")
   }
 
   test("partition pruning works on the snapshot table (list-pruned scan shape)") {
