@@ -172,6 +172,10 @@ object Bench {
     // pair is the metric most sensitive to throttling; the short interleaved
     // query timings tolerate a drained budget far better.
     def runQueryPhase(): Unit = if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
+      // SPARK_GRAFT_QUERY_FILTER=q_a,q_b times only those headline queries
+      // (local iteration aid, never set by the driver)
+      val qFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+        .map(_.split(',').map(_.trim).toSet)
       val spark = newSession(cpus)
       val qs = SparkEntry.queries
       // untimed session warmup so the first query doesn't absorb JVM/codegen
@@ -181,7 +185,7 @@ object Bench {
       val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
       (1 to reps).foreach { rep =>
         awaitQuietHost() // one gate per pass; passes are the noise exposure
-        headline.foreach { name =>
+        headline.filter(n => qFilter.forall(_.contains(n))).foreach { name =>
           if (!errors.contains(name)) { // a crashed query won't un-crash
             logPhase(s"query $name rep$rep")
             val t0 = System.nanoTime()
@@ -205,6 +209,10 @@ object Bench {
     // (scan listing + shuffle barrier + snapshot commit) at the high
     // parallelism level — the scaling-efficiency denominator. At 100 TB a
     // real ingest runs hours, so steady state is the honest regime.
+    // SPARK_GRAFT_SKIP_PIPELINE (local iteration aid, never set by the
+    // driver) skips this phase entirely.
+    var vectorsPerSec = 0.0
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) {
     val nImages = if (sfDir.contains("sf0.1")) 200000L
       else if (sfDir.contains("sf0.01")) 2000L else 400L
     val work = Files.createTempDirectory("graft_bench")
@@ -263,7 +271,6 @@ object Bench {
           org.apache.spark.sql.types.StructField("valid_from",
             org.apache.spark.sql.types.TimestampType, nullable = false))))
 
-    var vectorsPerSec = 0.0
     // ONE untimed warmup (JIT is JVM-wide — a per-level warmup just burned
     // the host's burst budget twice before the timed reps), then INTERLEAVED
     // timed reps — the sandbox VM has multi-second throttle windows, and
@@ -348,6 +355,7 @@ object Bench {
     results("scaling_efficiency_Nto4N") = eff
     results("scaling_cpus_low") = lowCpus.toDouble
     results("scaling_cpus_high") = highCpus.toDouble
+    }
 
     runQueryPhase()
 

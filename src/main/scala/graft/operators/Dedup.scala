@@ -190,9 +190,13 @@ object Dedup {
    * Input: (id_a, id_b) pairs. Output: (id, group_id = min id reachable).
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetrize, dedup, then pin the cached edge partitioning to hash(src):
+    // every sweep joins edges on src, and a cache that already carries that
+    // partitioning means the (corpus-scale) edge side is shuffled ONCE at
+    // setup instead of once per sweep — only the (small) label side moves
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     // Each sweep MUST truncate lineage (localCheckpoint), not just cache:
     // labels_i references labels_{i-1} twice (join + message aggregate), so
     // the logical plan doubles per sweep and the analyzer — which sees plans,
