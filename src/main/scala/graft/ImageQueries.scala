@@ -219,19 +219,35 @@ object ImageQueries {
     // schema, and null-on-corrupt contract are the real, tested part).
     "q_video_frames" -> ((s, dir) => {
       import s.implicits._
-      import graft.functions.MediaExpressions
+      import graft.functions.{ImageExpressions, MediaExpressions}
+      // mixed corpus: REAL MJPEG-AVI rows (even ids — demuxed by the
+      // spec-conformant RIFF walker, every sampled payload is a standalone
+      // JPEG the image decoder then decodes), toy-GVID rows (odd ids), one
+      // corrupt row. Exercises demux → frame-slice → decode end-to-end.
       val vids = s.range(0, 48).map { i =>
         val bytes =
           if (i == 2L) Array[Byte](1, 2, 3) // corrupt
-          else MediaExpressions.encodeGvid(Seq.tabulate((i % 6).toInt + 1)(f =>
+          else if (i % 2 == 0L) {
+            val jpegs = Seq.tabulate((i % 6).toInt + 1)(f =>
+              graft.kernels.Imaging.encodeJpeg(
+                graft.kernels.Imaging.syntheticRaster(11L, i * 31 + f, 24, 16)))
+            MediaExpressions.encodeAviMjpeg(jpegs, width = 24, height = 16)
+          } else MediaExpressions.encodeGvid(Seq.tabulate((i % 6).toInt + 1)(f =>
             Array.fill(16 + f)(((i + f) % 127).toByte)))
         (f"vid_$i%04d", bytes)
       }.toDF("video_id", "bytes")
       vids
         .withColumn("frames",
           MediaExpressions.video_frame_sample(col("bytes"), everyN = 2))
-        .select(col("video_id"), size(col("frames")).as("n_sampled"),
-          col("frames").isNull.as("is_corrupt"))
+        .select(col("video_id"), col("bytes"),
+          col("frames").isNull.as("is_corrupt"),
+          explode_outer(col("frames")).as("fr"))
+        .withColumn("payload", expr("substring(bytes, fr.offset + 1, fr.size)"))
+        .withColumn("decoded", ImageExpressions.decode_image(col("payload")))
+        .groupBy("video_id")
+        .agg(count(col("fr")).cast("int").as("n_sampled"),
+          count(col("decoded")).cast("int").as("n_decoded"),
+          first(col("is_corrupt")).as("is_corrupt"))
         .orderBy("video_id")
     }),
 

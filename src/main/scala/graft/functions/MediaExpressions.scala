@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
  *
  * - [[AudioPcmStats]] is a REAL parser for RIFF/WAVE PCM16 (the format is a
  *   public 44-byte-header standard; no codec library needed).
- * - [[VideoFrameSample]] demuxes a deliberately TOY container ("GVID":
- *   magic, frame count, then length-prefixed frames) — real video demuxing
- *   needs codec libraries this container lacks (zero egress), so the PARSER
- *   is the documented stub; the Spark-side contract (binary column in,
- *   array<struct> of sampled frame descriptors out, row-local, null on
- *   corrupt) is the real, tested part and survives swapping in a real
- *   demuxer.
+ * - [[VideoFrameSample]] demuxes REAL RIFF-AVI containers
+ *   ([[parseAviFrames]]): the chunk walk (RIFF → LIST 'movi' → '00dc'/'00db'
+ *   frame chunks, word-aligned, 'rec ' LISTs recursed) follows the public
+ *   AVI spec, and for MJPEG streams every '00dc' payload is a complete JPEG
+ *   that [[graft.kernels.Imaging.decode]] can decode — a fully real
+ *   demux→decode path with no codec library. Inter-frame codecs (H.264 etc.)
+ *   would need decoders the sandbox lacks (zero egress); those frames still
+ *   demux (refs are returned), they just cannot be pixel-decoded. The toy
+ *   "GVID" container (magic, frame count, length-prefixed frames) is kept as
+ *   a second accepted format and as the documented minimal seam.
  */
 object MediaExpressions {
 
@@ -90,6 +93,122 @@ object MediaExpressions {
 
   final case class FrameRef(idx: Int, offset: Int, size: Int)
 
+  /**
+   * REAL RIFF-AVI demux: walk the chunk tree to LIST 'movi' and collect the
+   * video frame chunks in stream order. Frame chunk ids are '##dc'
+   * (compressed) / '##db' (uncompressed) per the AVI spec; 'rec ' LISTs
+   * (interleave groups) are recursed. Chunks are word-aligned (odd sizes pad
+   * one byte). Returns every-`everyN`-th frame's (index, payload offset,
+   * size) — for MJPEG streams the payload at each ref is a standalone JPEG.
+   * None on anything malformed (bad magic, truncated chunk, negative size) —
+   * the null-on-corrupt error channel, never an exception.
+   */
+  def parseAviFrames(bytes: Array[Byte], everyN: Int): Option[Seq[FrameRef]] = {
+    if (bytes == null || bytes.length < 12 || everyN <= 0) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val riffEnd = {
+      val size = bb.getInt(4)
+      if (size < 4) return None
+      math.min(bytes.length.toLong, 8L + size).toInt
+    }
+    val frames = Seq.newBuilder[(Int, Int)] // (payload offset, size)
+    // video frame chunks only: '##dc' / '##db' ('##wb' audio is not a frame)
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+    // walk one chunk sequence in [off, end); inMovi: collect frame chunks
+    def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tag(off)
+        val size = bb.getInt(off + 4)
+        if (size < 0 || off + 8 + size > end) return false
+        if (id == "LIST") {
+          if (size < 4) return false
+          val listType = tag(off + 8)
+          val enter = listType == "movi" || (inMovi && listType == "rec ")
+          if (enter || listType == "hdrl") {
+            if (!walk(off + 12, off + 8 + size, enter && (inMovi || listType == "movi")))
+              return false
+          }
+        } else if (inMovi && isFrameChunk(id)) {
+          frames += ((off + 8, size))
+        }
+        off += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, riffEnd, inMovi = false)) return None
+    val all = frames.result()
+    Some(all.zipWithIndex.collect {
+      case ((o, s), i) if i % everyN == 0 => FrameRef(i, o, s)
+    })
+  }
+
+  /** Minimal spec-conformant MJPEG-AVI writer (test/synthesis side of the
+    * real demuxer): RIFF('AVI '){ LIST('hdrl'){ avih, LIST('strl'){ strh
+    * 'vids'/'MJPG', strf BITMAPINFOHEADER } }, LIST('movi'){ '00dc'… } }. */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+                     fps: Int = 25): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes); bb.putInt(body.length); bb.put(body)
+      bb.array()
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.flatten.toArray
+      val bb = ByteBuffer.allocate(12 + inner.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes); bb.putInt(4 + inner.length)
+      bb.put(listType.getBytes); bb.put(inner)
+      bb.array()
+    }
+    val maxBytes = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = { // MainAVIHeader (56 bytes)
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / math.max(fps, 1)) // usec per frame
+      b.putInt(maxBytes * fps)             // max bytes/sec
+      b.putInt(0)                          // padding granularity
+      b.putInt(0x10)                       // flags: AVIF_HASINDEX off, interleaved off
+      b.putInt(frames.length); b.putInt(0) // total frames, initial frames
+      b.putInt(1)                          // streams
+      b.putInt(maxBytes)                   // suggested buffer
+      b.putInt(width); b.putInt(height)
+      b.array() // 16 reserved bytes remain zero
+    }
+    val strh = { // AVIStreamHeader (56 bytes)
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes); b.put("MJPG".getBytes)
+      b.putInt(0); b.putShort(0); b.putShort(0); b.putInt(0)
+      b.putInt(1); b.putInt(math.max(fps, 1)) // scale, rate
+      b.putInt(0); b.putInt(frames.length)    // start, length
+      b.putInt(maxBytes); b.putInt(-1); b.putInt(0) // bufsize, quality, samplesize
+      b.putShort(0); b.putShort(0)
+      b.putShort(width.toShort); b.putShort(height.toShort)
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER (40 bytes)
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40); b.putInt(width); b.putInt(height)
+      b.putShort(1); b.putShort(24)
+      b.put("MJPG".getBytes)
+      b.putInt(width * height * 3)
+      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl", Seq(chunk("avih", avih),
+      list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)))
+    val body = hdrl ++ movi
+    val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(4 + body.length); bb.put("AVI ".getBytes)
+    bb.put(body)
+    bb.array()
+  }
+
   /** Demux the toy "GVID" container; every-nth frame refs. None if malformed. */
   def sampleGvidFrames(bytes: Array[Byte], everyN: Int): Option[Seq[FrameRef]] = {
     if (bytes == null || bytes.length < 8 || everyN <= 0) return None
@@ -153,12 +272,15 @@ object MediaExpressions {
     override def dataType: DataType = frameRefType
     override def nullable: Boolean = true
     override def prettyName: String = "video_frame_sample"
-    override def nullSafeEval(b: Any): Any =
-      sampleGvidFrames(b.asInstanceOf[Array[Byte]], everyN) match {
+    override def nullSafeEval(b: Any): Any = {
+      val bytes = b.asInstanceOf[Array[Byte]]
+      // real RIFF-AVI first (rejects non-AVI on magic in O(1)), toy GVID next
+      parseAviFrames(bytes, everyN).orElse(sampleGvidFrames(bytes, everyN)) match {
         case None => null
         case Some(refs) => new GenericArrayData(refs.map(r =>
           new GenericInternalRow(Array[Any](r.idx, r.offset, r.size))))
       }
+    }
     override protected def withNewChildInternal(c: Expression): VideoFrameSample =
       copy(child = c)
   }

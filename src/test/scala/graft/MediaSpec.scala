@@ -4,11 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.MediaExpressions
-import graft.functions.MediaExpressions.{encodeGvid, encodeWavPcm16, parseWavPcm16, sampleGvidFrames}
+import graft.functions.MediaExpressions.{encodeAviMjpeg, encodeGvid, encodeWavPcm16, parseAviFrames, parseWavPcm16, sampleGvidFrames}
 
 /** Multimodal binary columns: real PCM16-WAV parse (stats pinned to a scalar
-  * recomputation), toy-container frame sampling, null error channel for
-  * corrupt payloads — all row-local through native expressions. */
+  * recomputation), real RIFF-AVI demux with decodable MJPEG frames,
+  * toy-container frame sampling, null error channel for corrupt payloads —
+  * all row-local through native expressions. */
 class MediaSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -61,6 +62,58 @@ class MediaSpec extends AnyFunSuite {
     // declared frame larger than the blob → malformed, not a crash
     val bad = blob.clone(); bad(8) = 127 // first frame size byte
     assert(sampleGvidFrames(bad, 1).isEmpty)
+  }
+
+  test("parseAviFrames: real RIFF-AVI demux — every-nth refs whose payloads " +
+    "decode as JPEG (MJPEG end-to-end, no codec library); corrupt → None") {
+    import graft.kernels.Imaging
+    val rasters = Seq.tabulate(6)(i =>
+      Imaging.syntheticRaster(7L, i.toLong, 64, 48))
+    val jpegs = rasters.map(r => Imaging.encodeJpeg(r))
+    val avi = encodeAviMjpeg(jpegs, width = 64, height = 48)
+    val refs = parseAviFrames(avi, 2).get
+    assert(refs.map(_.idx) == Seq(0, 2, 4))
+    refs.foreach { r =>
+      val payload = java.util.Arrays.copyOfRange(avi, r.offset, r.offset + r.size)
+      assert(payload.sameElements(jpegs(r.idx)), s"frame ${r.idx} payload")
+      val dec = Imaging.decode(payload)
+      assert(dec.nonEmpty && dec.get.w == 64 && dec.get.h == 48,
+        s"frame ${r.idx} must decode as a standalone JPEG")
+      assert(Imaging.psnr(rasters(r.idx), dec.get) >= 40.0,
+        s"frame ${r.idx} PSNR gate")
+    }
+    // odd-sized frames exercise the word-alignment padding
+    val odd = Seq(Array.tabulate(7)(_.toByte), Array.tabulate(10)(_.toByte),
+      Array.tabulate(3)(_.toByte))
+    val aviOdd = encodeAviMjpeg(odd, 4, 4)
+    val all = parseAviFrames(aviOdd, 1).get
+    assert(all.map(_.size) == Seq(7, 10, 3))
+    all.foreach { r =>
+      assert(java.util.Arrays.copyOfRange(aviOdd, r.offset, r.offset + r.size)
+        .sameElements(odd(r.idx)))
+    }
+    // malformed: bad magic, truncated mid-chunk, negative size
+    val badMagic = avi.clone(); badMagic(8) = 'X'.toByte
+    assert(parseAviFrames(badMagic, 1).isEmpty)
+    assert(parseAviFrames(java.util.Arrays.copyOf(avi, avi.length - 40), 1).isEmpty)
+    assert(parseAviFrames(Array[Byte](1, 2, 3), 1).isEmpty)
+  }
+
+  test("video_frame_sample expression accepts BOTH containers: real AVI and " +
+    "toy GVID rows in one column") {
+    import graft.kernels.Imaging
+    val jpegs = Seq.tabulate(4)(i =>
+      Imaging.encodeJpeg(Imaging.syntheticRaster(3L, i.toLong, 16, 16)))
+    val rows = Seq(
+      ("avi", encodeAviMjpeg(jpegs, 16, 16)),
+      ("gvid", encodeGvid(Seq.tabulate(4)(i => Array.fill(6)(i.toByte))))
+    ).toDF("id", "bytes")
+    val got = rows.select(col("id"),
+      MediaExpressions.video_frame_sample(col("bytes"), 2).as("f"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0)) == Seq(0, 2), r.getString(0))
+    }
   }
 
   test("video_frame_sample expression: sampled counts per row, null for corrupt") {
