@@ -466,6 +466,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Context-window chunking: each document → consecutive 64-token chunks
+    // (doc-local explode; last chunk short). The step that turns a curated
+    // corpus into model-ingestible sequences.
+    "q_chunk_tokens" -> ((s, dir) => {
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text", chunkSize = 64)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ----------------------------------------------------- corpus curation
     // Deterministic train/val/test assignment — a pure function of the id
     // (md5 percentile), so membership survives re-partitioning, corpus growth
@@ -494,6 +502,19 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), Curation.normalize(col("text")).as("norm_text"))
         .orderBy("doc_id")
+    }),
+
+    // Leakage-safe group-aware split: every member of a near-dup group (the
+    // q_dedup_groups pair set) lands in ONE split — a near-copy of a training
+    // doc can never land in test. Split key = group representative (min id),
+    // else the row's own id; same md5-percentile arithmetic as
+    // q_split_assign, replayed (groups + arithmetic) by the oracle.
+    "q_split_by_group" -> ((s, dir) => {
+      val docs = docsWithDupes(s, dir, maxDocs = 500L)
+      val groups = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.6))
+      Curation.splitByGroup(docs.select("doc_id"), "doc_id", groups)
+        .select("doc_id", "split").orderBy("doc_id")
     }),
 
     // Deterministic k-per-source down-sample via the bounded-heap aggregate:
@@ -1108,6 +1129,57 @@ object SparkEntry {
         |    - (CAST(LENGTH(text) AS DOUBLE) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)
         |  )), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Doc-local chunking replayed with a lateral UNNEST over per-doc chunk
+    // counts; DuckDB list slices clamp at the array end exactly like Spark's
+    // `slice`, so the short last chunk agrees.
+    "q_chunk_tokens" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0
+        |)
+        |SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+        |  CAST(LEAST(64, array_length(toks) - t.i * 64) AS INT) AS n_tokens,
+        |  array_to_string(toks[t.i*64+1 : t.i*64+64], ' ') AS chunk_text
+        |FROM base, UNNEST(range(0, CAST(ceil(array_length(toks) / 64.0) AS BIGINT))) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Group-aware split: the q_dedup_groups recursive-CTE components feed the
+    // q_split_assign md5 arithmetic through COALESCE(group_id, doc_id).
+    "q_split_by_group" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+        |  FROM documents WHERE doc_id < 20
+        |), base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM all_docs)
+        |  WHERE array_length(toks) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh)) > 0
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.6
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
+        |), groups AS (
+        |  SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT a.doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(COALESCE(g.group_id, a.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pct
+        |  FROM all_docs a LEFT JOIN groups g ON g.doc_id = a.doc_id
+        |)
+        |ORDER BY doc_id""".stripMargin,
 
     // md5-percentile split: DuckDB parses the hex prefix via a 0x-literal
     // cast; Spark via conv(hex, 16, 10) — same 32-bit value, same % 100.

@@ -42,6 +42,27 @@ object Curation {
       .otherwise(lit("test"))
   }
 
+  /**
+   * Leakage-safe GROUP-AWARE split: every member of a duplicate / near-dup
+   * group lands in the SAME split, so a near-copy of a training document can
+   * never leak into val/test (the per-id [[splitAssign]] cannot guarantee
+   * that — two near-identical docs have independent md5 buckets). The split
+   * key is the group representative (`group_id` = min member id, the
+   * [[Dedup.connectedComponents]] contract) when the row belongs to a group,
+   * else the row's own id; assignment is then the same deterministic
+   * md5-percentile arithmetic as [[splitAssign]]. One left join against the
+   * (id → group_id) table — at corpus scale the group table is the small
+   * dedup output, and membership remains a pure function of content-derived
+   * ids: re-partitioning or corpus growth never moves a document.
+   * `groups`: (id, group_id) as produced by the dedup operators.
+   */
+  def splitByGroup(df: DataFrame, idCol: String, groups: DataFrame,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.join(groups.select(col("id").as(idCol), col("group_id")), Seq(idCol), "left")
+      .withColumn("split",
+        splitAssign(coalesce(col("group_id"), col(idCol)), trainPct, valPct))
+      .drop("group_id")
+
   /** Email-address pattern shared by Java regex and RE2 (no lookaround, no
     * backreferences) so an external engine can replay the redaction. */
   val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -131,4 +131,31 @@ object TextOps {
    */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     graft.functions.TextExpressions.minhash_signature(shingleArr, numHashes)
+
+  /**
+   * Context-window chunking: split each document into consecutive
+   * `chunkSize`-token chunks (last chunk may be shorter) — the doc-local
+   * step that turns a raw corpus into model-ingestible sequences. Row-local
+   * (explode only multiplies rows by ≤ n_tokens/chunkSize), so it
+   * distributes perfectly and composes with dedup/split/sampling on
+   * (idCol, chunk_idx). The per-chunk lambda runs once per CHUNK, not per
+   * token (slice/array_join inside are native) — the interpreted-HOF cost
+   * ceiling that rules out per-token lambdas does not bite at 1/chunkSize
+   * density. Empty/whitespace-only docs yield no chunks.
+   * Returns (idCol, chunk_idx, n_tokens, chunk_text).
+   */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkSize: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol), size(col("__toks")).as("__n"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("__toks")) - 1) / chunkSize).cast("int")),
+          i => array_join(slice(col("__toks"), i * chunkSize + 1, lit(chunkSize)), " "))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        least(lit(chunkSize), col("__n") - col("pos") * chunkSize)
+          .cast("int").as("n_tokens"),
+        col("col").as("chunk_text"))
+  }
 }

@@ -106,4 +106,39 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("bounded_top_k"))
     assert(!plan.contains("Window"))
   }
+
+  test("splitByGroup: all members of a group share one split (leakage-safe); " +
+    "ungrouped rows keep their own-id split; deterministic") {
+    val docs = (0L until 60L).map(i => Tuple1(i)).toDF("doc_id")
+    // groups: {0,1,2} -> rep 0, {10,11} -> rep 10; rest ungrouped
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "group_id")
+    val got = Curation.splitByGroup(docs, "doc_id", groups)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 60)
+    // group members inherit the REPRESENTATIVE's split
+    val rep0 = if (md5Bucket("0", 100) < 80) "train"
+      else if (md5Bucket("0", 100) < 90) "val" else "test"
+    assert(Seq(0L, 1L, 2L).forall(got(_) == rep0))
+    assert(got(10L) == got(11L))
+    // ungrouped rows match the plain per-id assignment
+    val plain = docs.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 60L).filterNot(Set(0L, 1L, 2L, 10L, 11L)).foreach { i =>
+      assert(got(i) == plain(i), s"doc $i")
+    }
+    // composes with real dedup groups: every group is split-coherent
+    val dup = docs.withColumn("text",
+      concat(lit("alpha beta gamma delta epsilon zeta "), pmod(col("doc_id"), lit(5)).cast("string")))
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(dup, "doc_id", "text", 3, 0.9)
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    val sp = Curation.splitByGroup(dup, "doc_id", cc)
+      .join(cc.select(col("id").as("doc_id"), col("group_id")), Seq("doc_id"))
+    val distinctPerGroup = sp.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(distinctPerGroup.nonEmpty && distinctPerGroup.forall(_.getLong(1) == 1L),
+      "every dup group must land in exactly one split")
+  }
 }

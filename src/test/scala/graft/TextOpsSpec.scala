@@ -128,4 +128,26 @@ class TextOpsSpec extends AnyFunSuite {
     val matches = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
     assert(matches < 16, s"disjoint shingle sets should rarely collide ($matches/64)")
   }
+
+  test("chunkTokens: consecutive fixed-size chunks, short last chunk, " +
+    "empty docs skipped, join/split round-trip") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, cs=4 -> 4,4,2
+      (2L, "only three  tokens"),                     // one short chunk
+      (3L, "   "),                                    // no chunks
+      (4L, (1 to 8).map(i => s"w$i").mkString(" ")))  // exact multiple -> 4,4
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      (1L, 0, 4), (1L, 1, 4), (1L, 2, 2),
+      (2L, 0, 3),
+      (4L, 0, 4), (4L, 1, 4)))
+    // chunk text round-trips: concatenating chunks re-tokenizes to the doc
+    val doc1 = got.filter(_._1 == 1L).map(_._4).mkString(" ").split(" ").toSeq
+    assert(doc1 == (1 to 10).map(i => s"t$i"))
+    assert(got.find(t => t._1 == 2L).get._4 == "only three tokens")
+  }
 }
