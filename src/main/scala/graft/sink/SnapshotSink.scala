@@ -274,12 +274,35 @@ object SnapshotSink {
    */
   def appendMissing(df: DataFrame, table: String, keyCol: String,
                     partitionCols: Seq[String],
-                    lineage: Map[String, String] = Map.empty): Option[Snapshot] = {
+                    lineage: Map[String, String] = Map.empty): Option[Snapshot] =
+    appendMissingImpl(df, table, keyCol, partitionCols, None, lineage)
+
+  /**
+   * Partition-scoped resume: like [[appendMissing]] but the anti-join probes
+   * only committed rows matching `scope` (a predicate on the partition
+   * columns → the probe scan partition-prunes). This bounds the per-batch
+   * probe of a long-lived stream, which otherwise grows O(table) over the
+   * stream's lifetime. CONTRACT: the caller guarantees incoming keys can
+   * only collide with rows INSIDE `scope` (e.g. keys arrive within a bounded
+   * time-bucket window); a key whose duplicate lives outside the scope is
+   * appended again — scoping trades the cross-run global guarantee for a
+   * bounded probe, it does not preserve it.
+   */
+  def appendMissingScoped(df: DataFrame, table: String, keyCol: String,
+                          partitionCols: Seq[String], scope: org.apache.spark.sql.Column,
+                          lineage: Map[String, String] = Map.empty): Option[Snapshot] =
+    appendMissingImpl(df, table, keyCol, partitionCols, Some(scope), lineage)
+
+  private def appendMissingImpl(df: DataFrame, table: String, keyCol: String,
+                                partitionCols: Seq[String],
+                                scope: Option[org.apache.spark.sql.Column],
+                                lineage: Map[String, String]): Option[Snapshot] = {
     val spark = df.sparkSession
     val fresh = lastSnapshot(table) match {
       case None => df
       case Some(_) =>
-        val existing = read(spark, table).select(col(keyCol))
+        val committed = read(spark, table)
+        val existing = scope.fold(committed)(committed.where(_)).select(col(keyCol))
         df.join(existing, Seq(keyCol), "left_anti")
     }
     if (fresh.isEmpty) None

@@ -79,19 +79,28 @@ object StreamingOps {
     * is the price of the cross-run contract (dedup against EVERY earlier
     * batch and every earlier run — Structured Streaming's own batchId dedup
     * only covers replays of the same query). When keys are known to arrive
-    * within a bounded window, scope the probe: partition the table by a key
-    * range/time bucket and anti-join against `readAsOf` of only the live
-    * partitions, or periodically [[graft.sink.SnapshotSink.compact]] so the
-    * key scan stays one well-packed file set. */
+    * within a bounded window, pass `scopeOf`: per batch it yields a
+    * partition-column predicate and the probe becomes
+    * [[graft.sink.SnapshotSink.appendMissingScoped]] — a partition-pruned
+    * scan of only the live partitions, bounding per-batch cost (the caller
+    * guarantees keys cannot collide outside the scope). Periodic
+    * [[graft.sink.SnapshotSink.compact]] keeps the probed file set packed. */
   def sinkToSnapshot(stream: DataFrame, table: String, keyCol: String,
                      partitionCols: Seq[String],
-                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                     checkpointDir: String,
+                     scopeOf: Option[DataFrame => org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sink.SnapshotSink.appendMissing(batch.toDF(), table, keyCol,
-          partitionCols, Map("stream_batch_id" -> batchId.toString))
+        val lineage = Map("stream_batch_id" -> batchId.toString)
+        scopeOf match {
+          case Some(f) => graft.sink.SnapshotSink.appendMissingScoped(
+            batch.toDF(), table, keyCol, partitionCols, f(batch.toDF()), lineage)
+          case None => graft.sink.SnapshotSink.appendMissing(
+            batch.toDF(), table, keyCol, partitionCols, lineage)
+        }
         ()
       }
       .start()

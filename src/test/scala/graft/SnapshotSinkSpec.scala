@@ -129,6 +129,32 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.vacuum(table2, retainAsOf = 1).isEmpty)
   }
 
+  test("appendMissingScoped: partition-pruned probe dedups inside the scope " +
+    "only (bounded-stream resume; outside-scope collisions are the caller's " +
+    "contract)") {
+    val table = tmpTable()
+    SnapshotSink.append(data(0 until 40), table, "id", Seq("part"))
+    // incoming batch overlaps committed keys in part 2 (in scope) and
+    // part 1 (outside scope)
+    val batch = Seq((2L, 2, "dup-in-scope"), (42L, 2, "new-in-scope"),
+      (1L, 1, "dup-outside"), (45L, 1, "new-outside"))
+      .toDF("id", "part", "payload")
+    val snap = SnapshotSink.appendMissingScoped(batch, table, "id", Seq("part"),
+      scope = col("part") === 2).get
+    // in-scope dup dropped, everything else written (incl. the outside-scope
+    // dup — the documented trade for a bounded probe)
+    assert(snap.rowCount == 3)
+    val written = SnapshotSink.readAsOf(spark, table, snap.id)
+      .where(col("id").isin(2L, 42L, 1L, 45L) && col("payload").startsWith("dup-") ||
+        col("payload").startsWith("new-"))
+    assert(written.select("payload").as[String].collect().sorted.toSeq ==
+      Seq("dup-outside", "new-in-scope", "new-outside"))
+    // the probe scan partition-prunes on the scope predicate
+    val probePlan = SnapshotSink.read(spark, table).where(col("part") === 2)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: ["), probePlan.take(400))
+  }
+
   test("crash simulation: a data subtree with no manifest is invisible; " +
     "vacuumOrphans reclaims it but never touches an in-flight id") {
     val table = tmpTable()
