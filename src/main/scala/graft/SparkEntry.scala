@@ -474,6 +474,41 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Corpus vocabulary with dense global token ids (occurrences desc, token
+    // asc) — range-partitioned sort + zipWithIndex, NOT an unpartitioned
+    // Window (single-task trap).
+    "q_vocabulary" -> ((s, dir) => {
+      TextOps.vocabulary(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", minCount = 5L)
+        .orderBy("token_id")
+    }),
+
+    // TF-IDF document-term weights on a bounded doc slice (plain ln(N/df)
+    // convention; numerics rounded for the cross-engine hash).
+    "q_tfidf" -> ((s, dir) => {
+      TextOps.tfidf(t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
+        .select(col("doc_id"), col("token"),
+          round(col("tf"), 6).as("tf"), round(col("idf"), 6).as("idf"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // Per-label mean embedding (class centroids / mean pooling) through the
+    // native vec_mean TypedImperativeAggregate — one d-length buffer per
+    // group per task crosses the exchange, not |rows|·d (dim, value) pairs.
+    // Flattened to (label, dim, value) rows for a scalar-robust hash.
+    "q_embed_label_centroid" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(graft.functions.VecAggregates.vec_mean(col("embedding")).as("mv"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"), posexplode(col("mv")))
+        .select(col("label"), col("pos").cast("int").as("dim"),
+          round(col("col"), 6).as("centroid"), col("n_vecs"))
+        .orderBy("label", "dim")
+    }),
+
     // ----------------------------------------------------- corpus curation
     // Deterministic train/val/test assignment — a pure function of the id
     // (md5 percentile), so membership survives re-partitioning, corpus growth
@@ -1143,6 +1178,48 @@ object SparkEntry {
         |  array_to_string(toks[t.i*64+1 : t.i*64+64], ' ') AS chunk_text
         |FROM base, UNNEST(range(0, CAST(ceil(array_length(toks) / 64.0) AS BIGINT))) AS t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_vocabulary" ->
+      """WITH counts AS (
+        |  SELECT t.tok AS token, COUNT(*) AS n_occurrences,
+        |    COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+        |        FROM documents WHERE LENGTH(TRIM(text)) > 0) t
+        |  GROUP BY t.tok HAVING COUNT(*) >= 5
+        |)
+        |SELECT token, n_occurrences, n_docs,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) - 1 AS BIGINT) AS token_id
+        |FROM counts ORDER BY token_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 100 AND LENGTH(TRIM(text)) > 0
+        |), n AS (SELECT COUNT(*) AS nd FROM base),
+        |terms AS (
+        |  SELECT doc_id, t.tok AS token, COUNT(*) AS tc,
+        |    ANY_VALUE(array_length(toks)) AS len
+        |  FROM base, UNNEST(toks) AS t(tok)
+        |  GROUP BY doc_id, t.tok
+        |), dfreq AS (SELECT token, COUNT(*) AS df FROM terms GROUP BY token)
+        |SELECT terms.doc_id, terms.token,
+        |  ROUND(CAST(tc AS DOUBLE) / len, 6) AS tf,
+        |  ROUND(ln(CAST(nd AS DOUBLE) / df), 6) AS idf,
+        |  ROUND((CAST(tc AS DOUBLE) / len) * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
+        |FROM terms JOIN dfreq ON dfreq.token = terms.token CROSS JOIN n
+        |ORDER BY terms.doc_id, terms.token""".stripMargin,
+
+    // element-wise mean per label replayed dimension-wise (AVG over the
+    // DOUBLE[] slot per dim; list indexing is 1-based in DuckDB)
+    "q_embed_label_centroid" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ns AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT e.label, CAST(t.i - 1 AS INT) AS dim,
+        |  ROUND(AVG(e.v[t.i]), 6) AS centroid, ANY_VALUE(ns.n_vecs) AS n_vecs
+        |FROM e JOIN ns ON ns.label = e.label, UNNEST(range(1, 65)) AS t(i)
+        |GROUP BY e.label, t.i
+        |ORDER BY e.label, dim""".stripMargin,
 
     // Group-aware split: the q_dedup_groups recursive-CTE components feed the
     // q_split_assign md5 arithmetic through COALESCE(group_id, doc_id).

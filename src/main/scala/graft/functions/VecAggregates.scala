@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Element-wise vector sum / mean over an embedding column — the
+ * mean-pooling / class-centroid aggregate of a feature pipeline (label
+ * centroids, prototype embeddings, per-group pooled features).
+ *
+ * As a [[TypedImperativeAggregate]] it plans as ObjectHashAggregate
+ * partial → shuffle → final: each map task folds its rows into ONE d-length
+ * double buffer per group before the exchange, so the shuffle carries
+ * O(groups · partitions · d) doubles. The posexplode-by-dimension
+ * formulation — the only built-in alternative — multiplies the row count by
+ * d before the aggregate and shuffles (dim, value) pairs; at d = 1024 that
+ * is three orders of magnitude more exchange volume.
+ *
+ * Accepts array<float> or array<double>; null vectors are skipped; an empty
+ * group yields null; a dimension mismatch inside a group fails loudly
+ * (silent truncation would corrupt centroids).
+ */
+case class VecSumAgg(
+    child: Expression,
+    mean: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecAggregates.Buf] {
+
+  import VecAggregates._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def prettyName: String = if (mean) "vec_mean" else "vec_sum"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(
+        s"$prettyName: unsupported element type $t")
+    }
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(buffer: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val d = a.numElements()
+      if (buffer.sum == null) buffer.sum = new Array[Double](d)
+      else if (buffer.sum.length != d) throw new IllegalArgumentException(
+        s"$prettyName: vector length $d != ${buffer.sum.length} in one group")
+      var i = 0
+      if (isFloat) while (i < d) { buffer.sum(i) += a.getFloat(i); i += 1 }
+      else while (i < d) { buffer.sum(i) += a.getDouble(i); i += 1 }
+      buffer.n += 1
+    }
+    buffer
+  }
+
+  override def merge(buffer: Buf, other: Buf): Buf = {
+    if (other.sum != null) {
+      if (buffer.sum == null) { buffer.sum = other.sum; buffer.n = other.n }
+      else {
+        require(buffer.sum.length == other.sum.length,
+          s"$prettyName: vector length mismatch across partitions")
+        var i = 0
+        while (i < buffer.sum.length) { buffer.sum(i) += other.sum(i); i += 1 }
+        buffer.n += other.n
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: Buf): Any =
+    if (buffer.sum == null) null
+    else if (mean) {
+      val out = new Array[Double](buffer.sum.length)
+      var i = 0
+      while (i < out.length) { out(i) = buffer.sum(i) / buffer.n; i += 1 }
+      new GenericArrayData(out)
+    } else new GenericArrayData(buffer.sum.clone())
+
+  override def serialize(buffer: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buffer.n)
+    val s = buffer.sum
+    out.writeInt(if (s == null) -1 else s.length)
+    if (s != null) s.foreach(out.writeDouble)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new Buf
+    b.n = in.readLong()
+    val d = in.readInt()
+    if (d >= 0) b.sum = Array.fill(d)(in.readDouble())
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecSumAgg =
+    copy(child = newChildren(0))
+}
+
+object VecAggregates {
+
+  /** Running element-wise sum + row count. */
+  final class Buf {
+    var sum: Array[Double] = null
+    var n: Long = 0L
+  }
+
+  /** Element-wise sum of the group's vectors (array<double>); null if empty. */
+  def vec_sum(v: Column): Column =
+    GraftBridge.column(VecSumAgg(GraftBridge.expression(v), mean = false)
+      .toAggregateExpression())
+
+  /** Element-wise mean of the group's vectors (array<double>); null if empty. */
+  def vec_mean(v: Column): Column =
+    GraftBridge.column(VecSumAgg(GraftBridge.expression(v), mean = true)
+      .toAggregateExpression())
+}

@@ -133,6 +133,63 @@ object TextOps {
     graft.functions.TextExpressions.minhash_signature(shingleArr, numHashes)
 
   /**
+   * Corpus vocabulary: per-token occurrence and document counts, min-count
+   * filtered, with a DENSE global token id ordered by (occurrences desc,
+   * token asc). The id ranking deliberately avoids an unpartitioned Window
+   * (single-task global sort — the WindowExec trap): `orderBy` range-
+   * partitions the (already aggregated, corpus≪) vocab across tasks and
+   * `zipWithIndex` assigns contiguous ids with one extra size-scan job —
+   * the standard distributed global-rank shape.
+   * Returns (token, n_occurrences, n_docs, token_id).
+   */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("__doc")).as("n_docs"))
+      .where(col("n_occurrences") >= minCount)
+    val sorted = counts.orderBy(col("n_occurrences").desc, col("token"))
+    val schema = sorted.schema.add("token_id", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+  }
+
+  /**
+   * TF-IDF document-term weights: tf = term count / document token count,
+   * idf = ln(N / df_t) (plain convention — df_t ≥ 1 for every emitted term,
+   * so no smoothing is needed), tfidf = tf · idf. Two aggregates (per-doc
+   * term counts; per-term document frequency) + one broadcast-size join of
+   * corpus constants — the term-count aggregate carries (token, doc) pairs,
+   * never document text. Returns (idCol, token, tf, idf, tfidf) for every
+   * (document, distinct term) pair.
+   */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val nDocs = base.select(count(lit(1)).as("__n"))
+    val terms = base
+      .select(col(idCol), size(col("__toks")).as("__len"),
+        explode(col("__toks")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tc"), first(col("__len")).as("__len"))
+    val docFreq = terms.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+    terms.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"),
+        (col("__tc").cast("double") / col("__len")).as("tf"),
+        log(col("__n").cast("double") / col("__df")).as("idf"))
+      .withColumn("tfidf", col("tf") * col("idf"))
+  }
+
+  /**
    * Context-window chunking: split each document into consecutive
    * `chunkSize`-token chunks (last chunk may be shorter) — the doc-local
    * step that turns a raw corpus into model-ingestible sequences. Row-local

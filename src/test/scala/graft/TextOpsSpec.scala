@@ -150,4 +150,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(doc1 == (1 to 10).map(i => s"t$i"))
     assert(got.find(t => t._1 == 2L).get._4 == "only three tokens")
   }
+
+  test("vocabulary: counts, min-count filter, dense ids ordered by " +
+    "(occurrences desc, token asc), partitioning-invariant") {
+    val docs = Seq(
+      (1L, "b a a c"), (2L, "a b"), (3L, "c a"), (4L, "   "))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = TextOps.vocabulary(docs.repartition(parts),
+      "doc_id", "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(_._4)
+    val got = run(1)
+    // a: 4 occ / 3 docs; b: 2/2; c: 2/2 (b before c on the token tie-break)
+    assert(got == Seq(("a", 4L, 3L, 0L), ("b", 2L, 2L, 1L), ("c", 2L, 2L, 2L)))
+    assert(run(5) == got, "ids must not depend on partitioning")
+  }
+
+  test("tfidf matches the scalar ln(N/df) computation") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c c")).toDF("doc_id", "text")
+    val got = TextOps.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val n = 3.0
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // doc1 "a a b": tf(a)=2/3, df(a)=2 -> idf=ln(3/2)
+    val (tfA, idfA, tiA) = got((1L, "a"))
+    assert(close(tfA, 2.0 / 3) && close(idfA, math.log(n / 2)) && close(tiA, tfA * idfA))
+    // doc3 "c c c c": tf=1, df(c)=2
+    val (tfC, idfC, tiC) = got((3L, "c"))
+    assert(close(tfC, 1.0) && close(idfC, math.log(n / 2)) && close(tiC, idfC))
+    // b appears once in one doc: idf=ln(3)
+    assert(close(got((1L, "b"))._2, math.log(3.0)))
+    assert(got.size == 5)
+  }
 }
