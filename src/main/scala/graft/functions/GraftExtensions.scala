@@ -47,5 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BoundedTopK(e.head, e(1), e(2),
           e(3).eval().asInstanceOf[Number].intValue(),
           e(4).eval().asInstanceOf[Boolean])))
+    ext.injectFunction((FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecSumAgg(e.head, mean = false)))
+    ext.injectFunction((FunctionIdentifier("vec_mean"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "vec_mean"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecSumAgg(e.head, mean = true)))
   }
 }

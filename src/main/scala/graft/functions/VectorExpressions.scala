@@ -202,5 +202,11 @@ object VectorExpressions {
       BoundedTopK(e.head, e(1), e(2), intArg(e(3), "bounded_top_k(k)"),
         e(4).eval().asInstanceOf[Boolean])
     }, "scala_udf")
+    // element-wise vector aggregates (the analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression)
+    reg.createOrReplaceTempFunction("vec_sum",
+      e => VecSumAgg(e.head, mean = false), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_mean",
+      e => VecSumAgg(e.head, mean = true), "scala_udf")
   }
 }

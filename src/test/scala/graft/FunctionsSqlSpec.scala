@@ -83,4 +83,23 @@ class FunctionsSqlSpec extends AnyFunSuite {
       assert(ids == expect, s"group $g")
     }
   }
+
+  test("vec_mean / vec_sum work from SQL text and match the DataFrame path") {
+    graft.functions.VectorExpressions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq((0, Array(1.0, 2.0)), (0, Array(3.0, 6.0)), (1, Array(5.0, 5.0)))
+      .toDF("label", "v")
+    df.createOrReplaceTempView("vecs_sql_test")
+    val viaSql = spark.sql(
+      "SELECT label, vec_mean(v) AS m, vec_sum(v) AS s FROM vecs_sql_test " +
+        "GROUP BY label ORDER BY label").collect()
+    assert(viaSql(0).getSeq[Double](1) == Seq(2.0, 4.0))
+    assert(viaSql(0).getSeq[Double](2) == Seq(4.0, 8.0))
+    assert(viaSql(1).getSeq[Double](1) == Seq(5.0, 5.0))
+    val viaDf = df.groupBy("label")
+      .agg(graft.functions.VecAggregates.vec_mean(col("v")).as("m"),
+        graft.functions.VecAggregates.vec_sum(col("v")).as("s"))
+      .orderBy("label").collect()
+    assert(viaSql.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
+  }
 }
