@@ -188,7 +188,9 @@ object ImageQueries {
 
     // Multimodal audio column: real RIFF/WAVE PCM16 parse + amplitude stats
     // over an opaque binary column; corrupt bytes → null row-local (the same
-    // error-channel seam as decode_image). Deterministic synthetic WAVs.
+    // error-channel seam as decode_image). Oracle-checked: the WAVs are
+    // synthesized from closed-form parameters, so the DuckDB oracle replays
+    // synthesis + stats arithmetic without parsing any bytes.
     "q_audio_stats" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.MediaExpressions
@@ -214,9 +216,10 @@ object ImageQueries {
         .orderBy("clip_id")
     }),
 
-    // Multimodal video column: every-nth frame sampling over the documented
-    // toy GVID container (the demux is the stub; the binary-column plumbing,
-    // schema, and null-on-corrupt contract are the real, tested part).
+    // Multimodal video column: every-nth frame sampling — REAL RIFF-AVI
+    // demux with end-to-end MJPEG frame decode, plus the toy GVID seam.
+    // Oracle-checked: the corpus is synthesized from closed-form parameters,
+    // so the DuckDB oracle states the expected demux + decode counts.
     "q_video_frames" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.{ImageExpressions, MediaExpressions}

@@ -1179,6 +1179,46 @@ object SparkEntry {
         |FROM base, UNNEST(range(0, CAST(ceil(array_length(toks) / 64.0) AS BIGINT))) AS t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // The audio corpus is synthesized IN-QUERY from closed-form parameters
+    // (sine clips; sfDir-independent), so the oracle replays the synthesis
+    // and the stats arithmetic directly — TRUNC matches Scala's
+    // Double→Short truncation-toward-zero, samples are short/32768 exactly.
+    // A WAV-parsing bug, stats bug, or error-channel bug all hash-fail.
+    "q_audio_stats" ->
+      """WITH clips AS (
+        |  SELECT i, 400 + (i % 5) * 100 AS n, 100.0 + (i % 7) * 50.0 AS freq
+        |  FROM (SELECT unnest(range(0, 64)) AS i) WHERE i <> 1
+        |), samples AS (
+        |  SELECT c.i, c.n, TRUNC(sin(2 * pi() * c.freq * t.t / 8000.0) * 12000) / 32768.0 AS s
+        |  FROM clips c, UNNEST(range(0, c.n)) AS t(t)
+        |), stats AS (
+        |  SELECT i, ANY_VALUE(n) AS n,
+        |    SQRT(SUM(s * s) / ANY_VALUE(n)) AS rms, MAX(ABS(s)) AS peak
+        |  FROM samples GROUP BY i
+        |)
+        |SELECT concat('aud_', lpad(CAST(i AS VARCHAR), 4, '0')) AS clip_id,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |  ROUND(rms, 6) AS rms, ROUND(peak, 6) AS peak, FALSE AS is_corrupt
+        |FROM stats
+        |UNION ALL
+        |SELECT 'aud_0001', NULL, NULL, NULL, NULL, TRUE
+        |ORDER BY clip_id""".stripMargin,
+
+    // Video corpus likewise synthesized in-query (mixed real-AVI / toy-GVID,
+    // one corrupt row): the oracle states the EXPECTED demux + decode
+    // counts — (i%6)+1 frames sampled every 2nd; AVI rows (even i) must
+    // decode every sampled MJPEG frame, GVID payloads decode to null — so a
+    // demux, frame-slice, or decoder regression hash-fails.
+    "q_video_frames" ->
+      """WITH v AS (
+        |  SELECT i, (i % 6) + 1 AS k FROM (SELECT unnest(range(0, 48)) AS i)
+        |)
+        |SELECT concat('vid_', lpad(CAST(i AS VARCHAR), 4, '0')) AS video_id,
+        |  CAST(CASE WHEN i = 2 THEN 0 ELSE (k + 1) // 2 END AS INT) AS n_sampled,
+        |  CAST(CASE WHEN i = 2 THEN 0 WHEN i % 2 = 0 THEN (k + 1) // 2 ELSE 0 END AS INT) AS n_decoded,
+        |  i = 2 AS is_corrupt
+        |FROM v ORDER BY video_id""".stripMargin,
+
     "q_vocabulary" ->
       """WITH counts AS (
         |  SELECT t.tok AS token, COUNT(*) AS n_occurrences,
