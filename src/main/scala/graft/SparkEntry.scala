@@ -470,7 +470,11 @@ object SparkEntry {
     // (doc-local explode; last chunk short). The step that turns a curated
     // corpus into model-ingestible sequences.
     "q_chunk_tokens" -> ((s, dir) => {
-      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text", chunkSize = 64)
+      // documents is ONE parquet file — explicit repartition or the whole
+      // tokenize+chunk+explode runs in a single task (CLAUDE.md trap)
+      TextOps.chunkTokens(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", chunkSize = 64)
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -498,6 +502,11 @@ object SparkEntry {
     // native vec_mean TypedImperativeAggregate — one d-length buffer per
     // group per task crosses the exchange, not |rows|·d (dim, value) pairs.
     // Flattened to (label, dim, value) rows for a scalar-robust hash.
+    // FP note: the partial-buffer merge order is partition-dependent, so the
+    // pre-round mean carries ~1e-15 order noise vs DuckDB's AVG; round(…,6)
+    // flips only if a true mean sits within that noise of a 0.5e-6 boundary
+    // (~1e-9 per dim over ~100-row groups — accepted; a decimal-cast
+    // normalization does not exist for element-wise array sums).
     "q_embed_label_centroid" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .groupBy(col("label"))

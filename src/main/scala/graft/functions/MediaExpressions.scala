@@ -119,19 +119,26 @@ object MediaExpressions {
     def isFrameChunk(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.substring(2) == "dc" || id.substring(2) == "db")
-    // walk one chunk sequence in [off, end); inMovi: collect frame chunks
-    def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+    // walk one chunk sequence in [off, end); inMovi: collect frame chunks.
+    // Bounds math in Long — a crafted chunk size near Int.MaxValue must fail
+    // the `> end` check, not wrap negative and escape it. Depth is capped:
+    // real AVI nests ≤3 LIST levels; thousands of nested 12-byte LISTs is a
+    // malformed/adversarial file and must yield None, not StackOverflowError
+    // (both would otherwise escape nullSafeEval and kill the task).
+    def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > 16) return false
       var off = start
       while (off + 8 <= end) {
         val id = tag(off)
         val size = bb.getInt(off + 4)
-        if (size < 0 || off + 8 + size > end) return false
+        if (size < 0 || off.toLong + 8L + size > end) return false
         if (id == "LIST") {
           if (size < 4) return false
           val listType = tag(off + 8)
           val enter = listType == "movi" || (inMovi && listType == "rec ")
           if (enter || listType == "hdrl") {
-            if (!walk(off + 12, off + 8 + size, enter && (inMovi || listType == "movi")))
+            if (!walk(off + 12, off + 8 + size,
+                enter && (inMovi || listType == "movi"), depth + 1))
               return false
           }
         } else if (inMovi && isFrameChunk(id)) {
@@ -141,7 +148,7 @@ object MediaExpressions {
       }
       true
     }
-    if (!walk(12, riffEnd, inMovi = false)) return None
+    if (!walk(12, riffEnd, inMovi = false, depth = 0)) return None
     val all = frames.result()
     Some(all.zipWithIndex.collect {
       case ((o, s), i) if i % everyN == 0 => FrameRef(i, o, s)

@@ -40,6 +40,16 @@ case class VecSumAgg(
   override def prettyName: String = if (mean) "vec_mean" else "vec_sum"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // fail at ANALYSIS time on a wrong-typed argument (a lazy ClassCastException
+  // on the first evaluated row wastes the job and surfaces on an executor)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${other.simpleString(40)}")
+    }
+
   @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => true
@@ -59,8 +69,14 @@ case class VecSumAgg(
       else if (buffer.sum.length != d) throw new IllegalArgumentException(
         s"$prettyName: vector length $d != ${buffer.sum.length} in one group")
       var i = 0
-      if (isFloat) while (i < d) { buffer.sum(i) += a.getFloat(i); i += 1 }
-      else while (i < d) { buffer.sum(i) += a.getDouble(i); i += 1 }
+      while (i < d) {
+        // a null ELEMENT would silently read as 0.0 from ArrayData and
+        // corrupt the centroid — same fail-loudly posture as the length check
+        if (a.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i (null-free vectors required)")
+        buffer.sum(i) += (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
       buffer.n += 1
     }
     buffer

@@ -138,11 +138,14 @@ object Learning {
    */
   def sampleDescriptors(df: DataFrame, n: Int, seed: Long,
                         vecCol: String = "vec"): DataFrame = {
-    // content identity via the exact decimal rendering (same trick as the
-    // k-means init); the key doubles as the hash-collision tie-break so the
-    // selected SET is totally determined
-    val key = concat_ws(",", transform(col(vecCol), _.cast("string")))
-    df.orderBy(xxhash64(lit(seed), key), key).limit(n)
+    // row identity covers EVERY column (hash + full-row tie-break), so two
+    // rows sharing a descriptor but differing in carrier columns (provenance
+    // ids) are still selected deterministically at the limit boundary —
+    // hashing the vector alone would leave the carrier columns of tied rows
+    // to task order. Full-row duplicates are interchangeable by definition.
+    // Requires orderable column types (arrays/strings/numerics; no maps).
+    val cols = df.columns.map(col).toSeq
+    df.orderBy((xxhash64(lit(seed) +: cols: _*) +: cols): _*).limit(n)
   }
 
   /** Above this input dimensionality [[learnPca]] routes to the

@@ -171,22 +171,27 @@ object TextOps {
    */
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
             textCol: String): org.apache.spark.sql.DataFrame = {
+    // base (corpus tokenize) feeds terms AND the doc count; terms (the
+    // expensive explode+aggregate) feeds docFreq AND the final join —
+    // persist both once (the withPersistedStage rule for any expensive
+    // stage read >1×)
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
-    val nDocs = base.select(count(lit(1)).as("__n"))
     val terms = base
       .select(col(idCol), size(col("__toks")).as("__len"),
         explode(col("__toks")).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("__tc"), first(col("__len")).as("__len"))
-    val docFreq = terms.groupBy(col("token"))
-      .agg(count(lit(1)).as("__df"))
-    terms.join(docFreq, Seq("token"))
-      .crossJoin(broadcast(nDocs))
-      .select(col(idCol), col("token"),
-        (col("__tc").cast("double") / col("__len")).as("tf"),
-        log(col("__n").cast("double") / col("__df")).as("idf"))
-      .withColumn("tfidf", col("tf") * col("idf"))
+    Dedup.withPersistedStages(Seq(base, terms)) { case Seq(b, t) =>
+      val nDocs = b.select(count(lit(1)).as("__n"))
+      val docFreq = t.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+      t.join(docFreq, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .select(col(idCol), col("token"),
+          (col("__tc").cast("double") / col("__len")).as("tf"),
+          log(col("__n").cast("double") / col("__df")).as("idf"))
+        .withColumn("tfidf", col("tf") * col("idf"))
+    }
   }
 
   /**

@@ -39,6 +39,14 @@ class LearningSpec extends AnyFunSuite {
     // rejection-sampled subset: every sampled row is an input row
     val inputSet = points.map(_.toSeq).toSet
     assert(a.forall(inputSet.contains))
+    // duplicate descriptors with DIFFERENT carrier columns: the full-row
+    // identity keeps the selected (id, vec) pairs partitioning-deterministic
+    val dupDf = (0 until 40).map(i => (i.toLong, points(i % 8))).toDF("img_id", "vec")
+    def pairs(parts: Int) = Learning.sampleDescriptors(
+      dupDf.repartition(parts), 10, seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    assert(pairs(1) == pairs(6), "carrier columns of tied rows must not vary")
   }
 
   test("lloydKMeans recovers separated clusters and is partitioning-invariant") {

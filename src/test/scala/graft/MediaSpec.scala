@@ -97,6 +97,25 @@ class MediaSpec extends AnyFunSuite {
     assert(parseAviFrames(badMagic, 1).isEmpty)
     assert(parseAviFrames(java.util.Arrays.copyOf(avi, avi.length - 40), 1).isEmpty)
     assert(parseAviFrames(Array[Byte](1, 2, 3), 1).isEmpty)
+    // adversarial: chunk size near Int.MaxValue must fail the bounds check,
+    // not wrap negative and escape it (None, never an exception)
+    val overflow = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    overflow.put("RIFF".getBytes); overflow.putInt(56); overflow.put("AVI ".getBytes)
+    overflow.put("LIST".getBytes); overflow.putInt(0x7FFFFFF4); overflow.put("movi".getBytes)
+    assert(parseAviFrames(overflow.array(), 1).isEmpty)
+    // adversarial: deeply nested LISTs must hit the depth cap (None, not
+    // StackOverflowError)
+    val depth = 2000
+    val nested = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nested.put("RIFF".getBytes); nested.putInt(4 + depth * 12); nested.put("AVI ".getBytes)
+    (0 until depth).foreach { lvl =>
+      nested.put("LIST".getBytes)
+      nested.putInt(4 + (depth - 1 - lvl) * 12)
+      nested.put("movi".getBytes)
+    }
+    assert(parseAviFrames(nested.array(), 1).isEmpty)
   }
 
   test("video_frame_sample expression accepts BOTH containers: real AVI and " +
