@@ -775,6 +775,30 @@ object SparkEntry {
         ORDER BY query_id, neighbor_id""")
     }),
 
+    // The flagship top-k search expressed ENTIRELY as SQL text through the
+    // registered function surface: vec_cosine scores, bounded_top_k ranks
+    // (map-side heaps — the analyzer wraps the registered AggregateFunction).
+    // Hash-equal to the q_embed_knn oracle ⇒ a SQL-only user gets the same
+    // engine for the reference's core query shape.
+    "q_sql_embed_knn" -> ((s, dir) => {
+      graft.functions.VectorExpressions.registerAll(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb_knn")
+      s.sql("""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 vec_cosine(q.embedding, c.embedding) AS cos
+          FROM graft_emb_knn q JOIN graft_emb_knn c
+            ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        ), tk AS (
+          SELECT query_id, bounded_top_k(cos, neighbor_id, NULL, 10, false) AS tks
+          FROM scored GROUP BY query_id
+        )
+        SELECT query_id, t.col.id AS neighbor_id,
+               ROUND(t.col.score, 6) AS cosine, CAST(t.pos + 1 AS INT) AS rank
+        FROM tk LATERAL VIEW POSEXPLODE(tks) t AS pos, col
+        ORDER BY query_id, rank""")
+    }),
+
     // Embedding near-dup pairs via hyperplane LSH + exact-cosine verify.
     // Injected exact duplicates hash identically ⇒ recall 1.0 for them, so
     // the SQL brute-force pairs (cosine ≥ 0.999) are a true oracle.
@@ -1370,6 +1394,19 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_knn" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE) AS cos_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_sql_embed_knn" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE) AS cos_raw
