@@ -68,14 +68,18 @@ case class VecSumAgg(
       if (buffer.sum == null) buffer.sum = new Array[Double](d)
       else if (buffer.sum.length != d) throw new IllegalArgumentException(
         s"$prettyName: vector length $d != ${buffer.sum.length} in one group")
+      // a null ELEMENT would silently read as 0.0 from ArrayData and corrupt
+      // the centroid — same fail-loudly posture as the length check. Type
+      // dispatch stays hoisted out of the per-element loop (hot path).
+      def nullAt(i: Int): Nothing = throw new IllegalArgumentException(
+        s"$prettyName: null element at index $i (null-free vectors required)")
       var i = 0
-      while (i < d) {
-        // a null ELEMENT would silently read as 0.0 from ArrayData and
-        // corrupt the centroid — same fail-loudly posture as the length check
-        if (a.isNullAt(i)) throw new IllegalArgumentException(
-          s"$prettyName: null element at index $i (null-free vectors required)")
-        buffer.sum(i) += (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
-        i += 1
+      if (isFloat) while (i < d) {
+        if (a.isNullAt(i)) nullAt(i)
+        buffer.sum(i) += a.getFloat(i); i += 1
+      } else while (i < d) {
+        if (a.isNullAt(i)) nullAt(i)
+        buffer.sum(i) += a.getDouble(i); i += 1
       }
       buffer.n += 1
     }

@@ -129,21 +129,19 @@ object Learning {
    * (qnt/SampleLocalFeatures.java:35–107: seeded rejection sampling of
    * `targetNumFeatures` descriptors from the extracted-feature files; a
    * different seed per sample index). Spark re-expression: rank every row by
-   * xxhash64(seed, descriptor) and keep the `n` smallest — a
+   * xxhash64(seed, full row) and keep the `n` smallest — a
    * uniform-without-replacement sample whose membership is a pure function of
-   * (seed, content), so it is reproducible across partitionings, cluster
-   * sizes and re-runs (`df.sample` is per-partition Bernoulli and is not).
-   * Plans as TakeOrderedAndProject: map-side bounded heaps, no global sort.
-   * All input columns are preserved.
+   * (seed, row content — descriptor AND carrier columns), so it is
+   * reproducible across partitionings, cluster sizes and re-runs
+   * (`df.sample` is per-partition Bernoulli and is not). The identity covers
+   * every column because hashing the descriptor alone would leave the
+   * carrier columns (provenance ids) of equal-descriptor rows to task order
+   * at the limit boundary; full-row duplicates are interchangeable by
+   * definition. Requires orderable column types (arrays/strings/numerics;
+   * no maps). Plans as TakeOrderedAndProject: map-side bounded heaps, no
+   * global sort. All input columns are preserved.
    */
-  def sampleDescriptors(df: DataFrame, n: Int, seed: Long,
-                        vecCol: String = "vec"): DataFrame = {
-    // row identity covers EVERY column (hash + full-row tie-break), so two
-    // rows sharing a descriptor but differing in carrier columns (provenance
-    // ids) are still selected deterministically at the limit boundary —
-    // hashing the vector alone would leave the carrier columns of tied rows
-    // to task order. Full-row duplicates are interchangeable by definition.
-    // Requires orderable column types (arrays/strings/numerics; no maps).
+  def sampleDescriptors(df: DataFrame, n: Int, seed: Long): DataFrame = {
     val cols = df.columns.map(col).toSeq
     df.orderBy((xxhash64(lit(seed) +: cols: _*) +: cols): _*).limit(n)
   }

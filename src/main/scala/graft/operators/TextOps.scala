@@ -171,27 +171,29 @@ object TextOps {
    */
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
             textCol: String): org.apache.spark.sql.DataFrame = {
-    // base (corpus tokenize) feeds terms AND the doc count; terms (the
-    // expensive explode+aggregate) feeds docFreq AND the final join —
-    // persist both once (the withPersistedStage rule for any expensive
-    // stage read >1×)
-    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // The expensive tokenize+explode+aggregate stage feeds THREE consumers
+    // (doc count, per-term document frequency, final join), so it is
+    // persisted — but the RESULT is one row per (doc, term), corpus-scale,
+    // so it must NOT ride the withPersistedStage eager-checkpoint shape
+    // (that doctrine assumes a small result): the output stays a lazy plan
+    // over the cached stage. The doc count is a scalar — the one eager job
+    // here — and is derived from terms (every surviving doc has ≥1 term
+    // row), so the tokenize runs exactly once. The cached stage is LRU-
+    // evicted or freed with spark.catalog.clearCache.
+    val terms = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
-    val terms = base
       .select(col(idCol), size(col("__toks")).as("__len"),
         explode(col("__toks")).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("__tc"), first(col("__len")).as("__len"))
-    Dedup.withPersistedStages(Seq(base, terms)) { case Seq(b, t) =>
-      val nDocs = b.select(count(lit(1)).as("__n"))
-      val docFreq = t.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-      t.join(docFreq, Seq("token"))
-        .crossJoin(broadcast(nDocs))
-        .select(col(idCol), col("token"),
-          (col("__tc").cast("double") / col("__len")).as("tf"),
-          log(col("__n").cast("double") / col("__df")).as("idf"))
-        .withColumn("tfidf", col("tf") * col("idf"))
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = terms.select(count_distinct(col(idCol))).head().getLong(0)
+    val docFreq = terms.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    terms.join(docFreq, Seq("token"))
+      .select(col(idCol), col("token"),
+        (col("__tc").cast("double") / col("__len")).as("tf"),
+        log(lit(nDocs.toDouble) / col("__df")).as("idf"))
+      .withColumn("tfidf", col("tf") * col("idf"))
   }
 
   /**
