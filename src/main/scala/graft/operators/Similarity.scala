@@ -195,24 +195,55 @@ object Similarity {
       .limit(k)
   }
 
-  /** Multi-query IVFADC: the reference searches query-at-a-time
-    * (ds/IVFPQ.java:408); this batches a BOUNDED query set (typical: a
-    * handful of probe vectors) as a union of per-query probed scans, each
-    * with its own probe lists + LUT broadcast. For corpus×corpus workloads
+  /** Multi-query IVFADC as ONE join-shaped plan (ds/IVFPQ.java:408–450 at
+    * |Q| scale — the set-based twin of what [[ivfTopK]] does for raw cosine):
+    * probe selection and per-(query, list) ADC LUTs are computed driver-side
+    * from the BOUNDED query set and each gets a dense slot in a single
+    * broadcast (|Q|·nprobe tables of m×k_s doubles — the same memory the
+    * per-query loop shipped, in one shipment); a tiny (query_id, probe,
+    * lut_slot) table broadcast-joins the encoded corpus on `list_id` under a
+    * static IN filter (partition-pruned when the corpus is list_id-
+    * partitioned on disk), `adc_distance` indexes the slot, and a per-query
+    * [[BoundedTopK]] (adc asc, id tie-break) replaces N sort+limits. The
+    * corpus is scanned ONCE regardless of |Q| — a 10³-row query table is one
+    * probe join, not a 10³-branch union plan. For corpus×corpus workloads
     * use the LSH/near-dup operators instead — an unbounded query side must
-    * not drive a driver loop. Returns (query_id, neighbor_id, list_id,
-    * adc_dist). */
+    * not drive driver-side LUT construction. Returns (query_id, neighbor_id,
+    * list_id, adc_dist), per query the k best by (adc_dist asc, id asc). */
   def ivfPqSearchMany(encoded: DataFrame, idCol: String,
                       queries: Seq[(Long, Array[Double])],
                       centroids: Array[Array[Double]],
                       pq: graft.kernels.Kernels.PqModel,
                       k: Int, nprobe: Int): DataFrame = {
     require(queries.nonEmpty, "ivfPqSearchMany: empty query set")
-    queries.map { case (qid, qv) =>
-      ivfPqSearch(encoded, idCol, qv, centroids, pq, k, nprobe)
-        .withColumn("query_id", lit(qid))
-    }.reduce(_ unionByName _)
-      .select("query_id", "neighbor_id", "list_id", "adc_dist")
+    import graft.kernels.Kernels
+    val spark = encoded.sparkSession
+    val probeRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    val luts = Map.newBuilder[Int, Array[Array[Double]]]
+    var slot = 0
+    queries.foreach { case (qid, qv) =>
+      Kernels.kNearestCentroids(qv, centroids, nprobe).foreach { li =>
+        probeRows += ((qid, li, slot))
+        luts += slot -> Kernels.adcLookupTable(Kernels.residual(qv, centroids(li)), pq)
+        slot += 1
+      }
+    }
+    val bcLuts = spark.sparkContext.broadcast(luts.result())
+    val allLists = probeRows.map(_._2).distinct.sorted
+    import spark.implicits._
+    val probeDf = broadcast(probeRows.toSeq.toDF("query_id", "probe", "__lut"))
+    val scored = encoded
+      .where(col("list_id").isin(allLists.map(Integer.valueOf).toSeq: _*))
+      .join(probeDf, col("probe") === col("list_id"))
+      .select(col("query_id"), col(idCol), col("list_id"),
+        graft.functions.PqExpressions.adc_distance(col("pq_code"), col("__lut"),
+          bcLuts).as("adc_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(BoundedTopK.topK(col("adc_dist"), col(idCol), col("list_id"), k,
+        ascending = true).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.payload").as("list_id"), col("e.score").as("adc_dist"))
   }
 
   /**

@@ -169,17 +169,29 @@ object TextOps {
    * never document text. Returns (idCol, token, tf, idf, tfidf) for every
    * (document, distinct term) pair.
    */
-  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
-            textCol: String): org.apache.spark.sql.DataFrame = {
+  /** A corpus-scale lazy result (`df`) built over a persisted intermediate
+    * stage, with an explicit release seam: call [[release]] once `df` has been
+    * materialized (written / collected). Idempotent. The result must stay a
+    * LAZY plan over the cache (it is corpus-scale — the eager-checkpoint
+    * doctrine of Dedup.withPersistedStage assumes a small result), so the
+    * cache cannot be self-releasing; the caller owns the materialization
+    * point and therefore the release point. */
+  final class StagedResult(val df: org.apache.spark.sql.DataFrame,
+                           stage: org.apache.spark.sql.DataFrame) {
+    def release(): Unit = { stage.unpersist(blocking = false); () }
+  }
+
+  /** [[tfidf]] with the persisted term stage exposed for lifecycle control —
+    * use this (or [[tfidfWith]]) in long-lived sessions so repeated calls
+    * don't accumulate corpus-scale caches (`spark.catalog.clearCache` is a
+    * sledgehammer: it would also drop a concurrent operator's stage). */
+  def tfidfStaged(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): StagedResult = {
     // The expensive tokenize+explode+aggregate stage feeds THREE consumers
     // (doc count, per-term document frequency, final join), so it is
-    // persisted — but the RESULT is one row per (doc, term), corpus-scale,
-    // so it must NOT ride the withPersistedStage eager-checkpoint shape
-    // (that doctrine assumes a small result): the output stays a lazy plan
-    // over the cached stage. The doc count is a scalar — the one eager job
-    // here — and is derived from terms (every surviving doc has ≥1 term
-    // row), so the tokenize runs exactly once. The cached stage is LRU-
-    // evicted or freed with spark.catalog.clearCache.
+    // persisted. The doc count is a scalar — the one eager job here — and is
+    // derived from terms (every surviving doc has ≥1 term row), so the
+    // tokenize runs exactly once.
     val terms = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
       .select(col(idCol), size(col("__toks")).as("__len"),
@@ -189,12 +201,30 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = terms.select(count_distinct(col(idCol))).head().getLong(0)
     val docFreq = terms.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    terms.join(docFreq, Seq("token"))
+    val out = terms.join(docFreq, Seq("token"))
       .select(col(idCol), col("token"),
         (col("__tc").cast("double") / col("__len")).as("tf"),
         log(lit(nDocs.toDouble) / col("__df")).as("idf"))
       .withColumn("tfidf", col("tf") * col("idf"))
+    new StagedResult(out, terms)
   }
+
+  /** Run `use` over the TF-IDF result and release the persisted term stage
+    * when it returns — the bounded-lifecycle shape: `use` must materialize
+    * what it needs (write/collect) before returning. */
+  def tfidfWith[T](df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String)(use: org.apache.spark.sql.DataFrame => T): T = {
+    val staged = tfidfStaged(df, idCol, textCol)
+    try use(staged.df) finally staged.release()
+  }
+
+  /** Fire-and-forget convenience over [[tfidfStaged]]: the persisted term
+    * stage is left cached (LRU-evicted under memory pressure). Fine for
+    * short-lived driver sessions; long-lived sessions should use
+    * [[tfidfStaged]]/[[tfidfWith]] and release after materializing. */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame =
+    tfidfStaged(df, idCol, textCol).df
 
   /**
    * Context-window chunking: split each document into consecutive

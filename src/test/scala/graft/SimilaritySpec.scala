@@ -242,6 +242,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(disk == mem)
   }
 
+  test("ivfPqSearchMany: one probe-join plan (no per-query union), row-for-row " +
+    "parity with query-at-a-time ivfPqSearch") {
+    val (centroids, pq) = pqSetup
+    val enc = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", centroids, pq)
+      .localCheckpoint(true)
+    val queries = (0 until 5).map(qi => (qi.toLong, vecs(qi * 7)._2.map(_.toDouble)))
+    val k = 10; val nprobe = 3
+    val many = Similarity.ivfPqSearchMany(enc, "vec_id", queries, centroids, pq, k, nprobe)
+    // set-based shape: ONE scan of the encoded corpus joined against the probe
+    // table — not |Q| unioned scans (the round-4 shape this replaces)
+    val plan = many.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"per-query union survived:\n${plan.take(1200)}")
+    val got = many.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4))
+        .sortBy(t => (t._3, t._1)).toSeq).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = Similarity.ivfPqSearch(enc, "vec_id", qv, centroids, pq, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(t => (t._3, t._1)).toSeq
+      assert(got(qid) == single, s"query $qid: batched != query-at-a-time")
+    }
+  }
+
+  test("ivfPqSearchMany partition-prunes a list_id-partitioned snapshot " +
+    "(static IN filter reaches the scan)") {
+    val (centroids, pq) = pqSetup
+    val enc = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", centroids, pq)
+    val table = java.nio.file.Files.createTempDirectory("graft_eivfm")
+      .resolve("codes").toString
+    graft.sink.SnapshotSink.append(enc, table, "vec_id", Seq("list_id"))
+    val back = graft.sink.SnapshotSink.read(spark, table)
+    val queries = Seq((0L, vecs(3)._2.map(_.toDouble)))
+    val res = Similarity.ivfPqSearchMany(back, "vec_id", queries, centroids, pq, 10, 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("\\s", "").contains("list_id"),
+      s"expected list_id in PartitionFilters:\n${plan.take(800)}")
+    val mem = Similarity.ivfPqSearchMany(enc, "vec_id", queries, centroids, pq, 10, 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).sortBy(identity).toSeq
+    val disk = res.collect().map(r => (r.getLong(1), r.getDouble(3)))
+      .sortBy(identity).toSeq
+    assert(disk == mem)
+  }
+
   test("cosine column matches scalar kernel") {
     val df = Seq((vecs(0)._2, vecs(1)._2)).toDF("a", "b")
     val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)

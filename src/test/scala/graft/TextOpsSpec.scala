@@ -183,4 +183,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(close(got((1L, "b"))._2, math.log(3.0)))
     assert(got.size == 5)
   }
+
+  test("tfidfWith releases the persisted term stage after materialization " +
+    "(no cache accumulation across calls in a long-lived session)") {
+    // distinct content from the scalar-parity test above — its fire-and-forget
+    // tfidf() left an identical-plan stage cached, which CacheManager would
+    // silently reuse here and mask the persist/release under test
+    val docs = Seq((1L, "p p q"), (2L, "p r"), (3L, "r r r r")).toDF("doc_id", "text")
+    // track persisted-RDD IDS, not counts: the ContextCleaner async-unpersists
+    // rdds from earlier suites whose references were GC'd, so a count can
+    // shrink concurrently and mask the +1 under test
+    def cachedIds(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = cachedIds()
+    var added = Set.empty[Int]
+    val rows = TextOps.tfidfWith(docs, "doc_id", "text") { df =>
+      val r = df.collect()
+      // inside the callback the term stage IS cached (that's the point —
+      // three consumers, one tokenize)
+      added = cachedIds() -- before
+      assert(added.nonEmpty, "term stage should be persisted during use")
+      r
+    }
+    assert(rows.length == 5)
+    // unpersist is async (blocking = false) — poll briefly for the release
+    val deadline = System.nanoTime() + 10e9.toLong
+    while ((cachedIds() & added).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert((cachedIds() & added).isEmpty,
+      s"term stage still cached after release: ${cachedIds() & added}")
+    // staged handle: release is explicit and idempotent
+    val staged = TextOps.tfidfStaged(docs, "doc_id", "text")
+    assert(staged.df.count() == 5)
+    staged.release(); staged.release()
+  }
 }
