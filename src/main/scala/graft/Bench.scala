@@ -36,7 +36,8 @@ object Bench {
     "q_ngram_jaccard", "q_embed_knn", "q_embed_ivf", "q_embed_ivfpq",
     "q_embed_neardup", "q_ann_recall", "q_embed_label_centroid",
     "q_split_assign", "q_redact", "q_normalize", "q_sample_per_group",
-    "q_chunk_tokens", "q_vocabulary", "q_tfidf", "q_split_by_group")
+    "q_chunk_tokens", "q_vocabulary", "q_tfidf", "q_split_by_group",
+    "q_bpe_tokenize")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

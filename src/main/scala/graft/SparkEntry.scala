@@ -498,6 +498,25 @@ object SparkEntry {
         .orderBy("doc_id", "token")
     }),
 
+    // Learned BPE tokenization end-to-end: distributed word-count aggregate →
+    // bounded driver-side merge learning (graft.ml.Bpe) → native broadcast-
+    // model bpe_encode over every document. Rows-only (a learned merge table
+    // has no DuckDB twin — BpeSpec pins the learner against the hand-computed
+    // classic corpus and the expression against the scalar apply); the head
+    // tokens ride along so any learner/apply regression changes visible rows.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val model = graft.ml.Bpe.learn(docs, "text", numMerges = 200,
+        maxWords = 20000, minCount = 2L)
+      val bc = s.sparkContext.broadcast(model)
+      docs.select(col("doc_id"),
+          graft.functions.BpeExpressions.bpe_encode(col("text"), bc).as("__bpe"))
+        .select(col("doc_id"), size(col("__bpe")).cast("long").as("n_bpe_tokens"),
+          array_join(slice(col("__bpe"), 1, 12), " ").as("head_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Per-label mean embedding (class centroids / mean pooling) through the
     // native vec_mean TypedImperativeAggregate — one d-length buffer per
     // group per task crosses the exchange, not |rows|·d (dim, value) pairs.

@@ -33,6 +33,14 @@ object TextOps {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
+  /** Learned-BPE tokenization — the model-ingestible complement of the
+    * [[tokenCountBpe]] ESTIMATE: apply a merge table learned by
+    * [[graft.ml.Bpe.learn]] via the native broadcast-model `bpe_encode`
+    * expression. Returns array<string> of subword tokens in document order. */
+  def bpeTokenize(text: Column,
+                  model: org.apache.spark.broadcast.Broadcast[graft.ml.Bpe.BpeModel]): Column =
+    graft.functions.BpeExpressions.bpe_encode(text, model)
+
   /** Word n-gram shingles as space-joined strings; < n tokens → empty array. */
   /** Interpreted-HOF shingling over an ARBITRARY token-array column — for
     * composition with pre-tokenized inputs. Hot paths over raw text must use

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BpeExpressions
+import graft.ml.Bpe
+import graft.operators.TextOps
+
+/** Learned BPE tokenizer: merge learning pinned against the hand-computed
+  * classic corpus (Sennrich et al. 2016 §3.2 example shape), the apply loop
+  * against the hand-derived encoding, the Catalyst expression against the
+  * scalar apply, and determinism under repartitioning. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // the classic BPE teaching corpus: word counts low:5 lower:2 newest:6 widest:3
+  private val classicCounts: Seq[(String, Long)] =
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("learnMerges reproduces the hand-computed merge sequence on the " +
+    "classic corpus (ties broken pair-lexicographic)") {
+    // pair counts round 1: es=9 st=9 we=8 lo=7 ow=7 ne=6 ew=6 wi=3 id=3 de=3 er=2
+    // → (e,s) on the es/st tie; then (es,t)=9; then lo/ow tie → (l,o); then (lo,w)=7
+    val model = Bpe.learnMerges(classicCounts, numMerges = 4)
+    assert(model.merges == IndexedSeq(
+      ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("learnMerges stops when no pair repeats (singleton corpus exhausts)") {
+    val model = Bpe.learnMerges(Seq(("ab", 1L), ("cd", 1L)), numMerges = 10)
+    assert(model.merges.isEmpty, "count-1 pairs are noise, not merge rules")
+    // a repeated word keeps merging until it is one symbol, then stops
+    val m2 = Bpe.learnMerges(Seq(("aaa", 3L)), numMerges = 10)
+    assert(m2.merges.size == 2) // (a,a) then (aa,a) — nothing left to merge
+  }
+
+  test("encodeWord applies merges by rank: 'lowest' → [low, est] under the " +
+    "classic model (the textbook result)") {
+    val model = Bpe.learnMerges(classicCounts, numMerges = 4)
+    assert(BpeExpressions.encodeWord("lowest", model).toSeq == Seq("low", "est"))
+    assert(BpeExpressions.encodeWord("low", model).toSeq == Seq("low"))
+    // unseen symbols pass through as code points
+    assert(BpeExpressions.encodeWord("xyz", model).toSeq == Seq("x", "y", "z"))
+    assert(BpeExpressions.encodeWord("", model).toSeq == Seq.empty)
+  }
+
+  test("bpe_encode expression: pre-tokenizes like bpeTokenPattern, encodes " +
+    "per word, concatenates in order; matches the scalar apply row-for-row") {
+    val model = Bpe.learnMerges(classicCounts, numMerges = 4)
+    val bc = spark.sparkContext.broadcast(model)
+    val texts = Seq(
+      (1L, "the lowest low"),
+      (2L, "newest, widest! 42"),
+      (3L, ""),
+      (4L, "lower\tnewest lower"))
+    val got = texts.toDF("id", "text")
+      .select(col("id"), TextOps.bpeTokenize(col("text"), bc).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val pat = graft.operators.TextOps.bpeTokenPattern.r
+    texts.foreach { case (id, text) =>
+      val expect = pat.findAllIn(text).toSeq
+        .flatMap(w => BpeExpressions.encodeWord(w, model).toSeq)
+      assert(got(id) == expect, s"row $id")
+    }
+    // digits and punctuation tokenize individually (pre-tokenizer contract)
+    assert(got(2L).containsSlice(Seq(",")) && got(2L).containsSlice(Seq("4", "2")))
+  }
+
+  test("learn is partitioning-invariant and end-to-end deterministic " +
+    "(distributed word count → bounded top-k → driver merges)") {
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"low lower newest widest doc$i newest low")).toDF("doc_id", "text")
+    def run(parts: Int): IndexedSeq[(String, String)] =
+      Bpe.learn(docs.repartition(parts), "text", numMerges = 8,
+        maxWords = 1000, minCount = 2L).merges
+    val m1 = run(1)
+    assert(m1.nonEmpty)
+    assert(run(7) == m1, "merges must not depend on partitioning")
+    // the learned model round-trips through a broadcast + the expression
+    val bc = spark.sparkContext.broadcast(Bpe.BpeModel(m1))
+    val n = docs.select(TextOps.bpeTokenize(col("text"), bc).as("t"))
+      .selectExpr("size(t) AS n").as[Int].collect()
+    assert(n.forall(_ > 0))
+  }
+
+  test("non-BMP code points are single symbols end-to-end (surrogate pair " +
+    "never split by learner or apply)") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val model = Bpe.learnMerges(Seq((emoji + "a", 5L)), numMerges = 2)
+    assert(model.merges == IndexedSeq((emoji, "a")))
+    assert(BpeExpressions.encodeWord(emoji + "a", model).toSeq == Seq(emoji + "a"))
+  }
+}
