@@ -73,8 +73,13 @@ object SnapshotSink {
     val text = new String(
       Files.readAllBytes(snapshotsDir(table).resolve(s"v$id.json")),
       StandardCharsets.UTF_8)
+    manifestParses.incrementAndGet()
     parseSnapshot(text)
   }
+
+  /** Manifest-parse counter — the read-planning cost seam SnapshotSinkSpec
+    * asserts against (reads must NOT parse history below a compaction). */
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong
 
   /**
    * Append `df` to the table partitioned by `partitionCols`, committing a new
@@ -158,11 +163,50 @@ object SnapshotSink {
    * manifest chain).
    */
   def readAsOf(spark: SparkSession, table: String, asOf: Int): DataFrame = {
-    val snaps = allSnapshots(table).filter(_.id <= asOf)
+    val snaps = snapshotsForRead(table, asOf)
     require(snaps.nonEmpty, s"no snapshots in $table at or before v$asOf")
     val root = Paths.get(table)
     val files = activeFiles(snaps).map(f => root.resolve(f).toString)
     spark.read.option("basePath", table).parquet(files: _*).drop(snapDirCol)
+  }
+
+  /**
+   * The manifests a read at `asOf` actually needs: walk ids NEWEST-FIRST and
+   * stop descending once a compaction's `compacts_through` horizon covers the
+   * rest — manifests below the horizon contribute no active files, so they
+   * are never opened or parsed. This bounds read planning to O(commits since
+   * the last compaction) manifest parses + one directory listing, instead of
+   * O(all history): with the documented compact-regularly operational
+   * contract (any long-lived ingest should [[compact]] periodically anyway
+   * for the small-file problem), planning cost stays flat as history grows —
+   * at 10⁴ historical commits a reader parses only the few manifests above
+   * the newest compaction. [[vacuum]]/[[vacuumOrphans]] still read full
+   * history (maintenance ops, by design).
+   */
+  private def snapshotsForRead(table: String, asOf: Int): Seq[Snapshot] = {
+    val dir = snapshotsDir(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val ids = listDir(dir)
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .filter(_ <= asOf)
+      .sorted(Ordering[Int].reverse)
+    var cutoff = 0
+    val out = Seq.newBuilder[Snapshot]
+    val it = ids.iterator
+    var go = true
+    while (go && it.hasNext) {
+      val id = it.next()
+      if (id <= cutoff) go = false
+      else {
+        val s = readSnapshot(table, id)
+        out += s
+        s.lineage.get("compacts_through")
+          .foreach(t => cutoff = math.max(cutoff, t.toInt))
+      }
+    }
+    out.result()
   }
 
   /** Files visible for the state defined by `snaps` (ids ≤ some asOf):

@@ -102,6 +102,25 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.appendMissing(data(0 until 40), table, "id", Seq("part")).isEmpty)
   }
 
+  test("read planning stops at the compaction horizon: manifests below a " +
+    "compaction are never parsed (O(commits since compact), not O(history))") {
+    val table = tmpTable()
+    (0 until 8).foreach(i =>
+      SnapshotSink.append(data(i * 10 until (i + 1) * 10), table, "id", Seq("part")))
+    SnapshotSink.compact(spark, table, "id", Seq("part")) // v9, compacts_through=8
+    SnapshotSink.append(data(80 until 90), table, "id", Seq("part")) // v10
+    SnapshotSink.append(data(90 until 95), table, "id", Seq("part")) // v11
+    SnapshotSink.manifestParses.set(0L)
+    val cur = SnapshotSink.read(spark, table)
+    assert(cur.count() == 95)
+    val parses = SnapshotSink.manifestParses.get()
+    // v11, v10 and the compaction v9 — v1..v8 must stay unopened
+    assert(parses == 3, s"read planning parsed $parses manifests, expected 3 " +
+      "(head-to-horizon only)")
+    // time travel BELOW the horizon still parses what it needs and is exact
+    assert(SnapshotSink.readAsOf(spark, table, 2).count() == 20)
+  }
+
   test("vacuum deletes only subsumed files below the retention horizon; " +
     "current reads untouched") {
     val table = tmpTable()
