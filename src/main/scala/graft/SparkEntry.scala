@@ -499,21 +499,29 @@ object SparkEntry {
     }),
 
     // Learned BPE tokenization end-to-end: distributed word-count aggregate →
-    // bounded driver-side merge learning (graft.ml.Bpe) → native broadcast-
-    // model bpe_encode over every document. Rows-only (a learned merge table
-    // has no DuckDB twin — BpeSpec pins the learner against the hand-computed
-    // classic corpus and the expression against the scalar apply); the head
-    // tokens ride along so any learner/apply regression changes visible rows.
+    // bounded driver-side merge learning (graft.ml.Bpe) → merges.txt-style
+    // serialize/parse round trip (the artifact a pipeline reuses across jobs)
+    // → native broadcast-model bpe_encode + bpe_encode_ids over every
+    // document. Rows-only (a learned merge table has no DuckDB twin —
+    // BpeSpec pins the learner against the hand-computed classic corpus and
+    // the expression against the scalar apply); the head tokens AND head
+    // token ids ride along so any learner/apply/persistence/vocab regression
+    // changes visible rows.
     "q_bpe_tokenize" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      val model = graft.ml.Bpe.learn(docs, "text", numMerges = 200,
+      val learned = graft.ml.Bpe.learn(docs, "text", numMerges = 200,
         maxWords = 20000, minCount = 2L)
+      val model = graft.ml.Bpe.parseBpeFile(
+        graft.ml.Bpe.writeBpeFile(learned).linesIterator)
       val bc = s.sparkContext.broadcast(model)
       docs.select(col("doc_id"),
-          graft.functions.BpeExpressions.bpe_encode(col("text"), bc).as("__bpe"))
+          graft.functions.BpeExpressions.bpe_encode(col("text"), bc).as("__bpe"),
+          graft.functions.BpeExpressions.bpe_encode_ids(col("text"), bc).as("__ids"))
         .select(col("doc_id"), size(col("__bpe")).cast("long").as("n_bpe_tokens"),
-          array_join(slice(col("__bpe"), 1, 12), " ").as("head_tokens"))
+          array_join(slice(col("__bpe"), 1, 12), " ").as("head_tokens"),
+          array_join(slice(col("__ids"), 1, 12).cast("array<string>"), " ")
+            .as("head_token_ids"))
         .orderBy("doc_id")
     }),
 

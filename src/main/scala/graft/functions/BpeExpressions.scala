@@ -102,6 +102,24 @@ object BpeExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** Static bridge for codegen: text → token IDS (model.vocab positions,
+    * `<unk>`=0 for out-of-alphabet code points) — the model-ingestible form. */
+  def bpeEncodeIdsEval(text: UTF8String, model: BpeModel): ArrayData = {
+    val ids = model.tokenIds
+    val m = preTokenizer.matcher(text.toString)
+    val out = new java.util.ArrayList[Any]()
+    while (m.find()) {
+      val toks = encodeWordCached(m.group(), model)
+      var i = 0
+      while (i < toks.length) {
+        val id = ids.get(toks(i))
+        out.add(if (id == null) Integer.valueOf(0) else id)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   case class BpeEncode(child: Expression, model: Broadcast[BpeModel])
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -126,6 +144,33 @@ object BpeExpressions {
       copy(child = c)
   }
 
+  case class BpeEncodeIds(child: Expression, model: Broadcast[BpeModel])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "bpe_encode_ids"
+
+    @transient private lazy val m: BpeModel = model.value
+
+    override def nullSafeEval(text: Any): Any =
+      bpeEncodeIdsEval(text.asInstanceOf[UTF8String], m)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bpeBc", model,
+        classOf[Broadcast[BpeModel]].getName)
+      val mdl = ctx.addMutableState("graft.ml.Bpe.BpeModel", "bpeModel",
+        v => s"$v = (graft.ml.Bpe.BpeModel) $bcRef.value();")
+      val cls = BpeExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $cls.bpeEncodeIdsEval($c, $mdl);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeEncodeIds =
+      copy(child = c)
+  }
+
   def bpe_encode(text: Column, model: Broadcast[BpeModel]): Column =
     GraftBridge.column(BpeEncode(GraftBridge.expression(text), model))
+
+  def bpe_encode_ids(text: Column, model: Broadcast[BpeModel]): Column =
+    GraftBridge.column(BpeEncodeIds(GraftBridge.expression(text), model))
 }

@@ -22,15 +22,37 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
-  /** Ordered merge table: rank = position. Ships in a Spark broadcast; the
-    * rank map is rebuilt lazily once per executor. */
-  case class BpeModel(merges: IndexedSeq[(String, String)]) extends Serializable {
+  /** Ordered merge table (rank = position) + the training alphabet. Ships in
+    * a Spark broadcast; the derived lookup maps are rebuilt lazily once per
+    * executor. */
+  case class BpeModel(merges: IndexedSeq[(String, String)],
+                      alphabet: IndexedSeq[String] = IndexedSeq.empty)
+      extends Serializable {
     /** (a + ' ' + b) → rank; the apply loop's hot lookup. */
     @transient lazy val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       var i = 0
       while (i < merges.size) {
         m.put(merges(i)._1 + " " + merges(i)._2, Integer.valueOf(i))
+        i += 1
+      }
+      m
+    }
+
+    /** Token-id vocabulary: `<unk>` at id 0, then the training alphabet
+      * (code points, sorted), then merge products by rank — every symbol
+      * [[graft.functions.BpeExpressions.encodeWord]] can emit for in-alphabet
+      * text has an id; out-of-alphabet code points map to `<unk>`. */
+    @transient lazy val vocab: IndexedSeq[String] =
+      "<unk>" +: (alphabet ++ merges.map(m => m._1 + m._2))
+
+    /** token → id; distinct merge paths yielding the same string (e.g.
+      * (a,bc) and (ab,c) both → "abc") keep the FIRST (lowest) id. */
+    @transient lazy val tokenIds: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+      var i = 0
+      while (i < vocab.size) {
+        m.putIfAbsent(vocab(i), Integer.valueOf(i))
         i += 1
       }
       m
@@ -73,6 +95,7 @@ object Bpe {
   def learnMerges(wordCounts: Seq[(String, Long)], numMerges: Int): BpeModel = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     var words = wordCounts.map { case (w, c) => (codePointSyms(w), c) }.toArray
+    val alphabet = words.iterator.flatMap(_._1).toSeq.distinct.sorted.toIndexedSeq
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < numMerges && !done) {
@@ -101,7 +124,40 @@ object Bpe {
         words = words.map { case (syms, c) => (mergeAll(syms, best._1, best._2), c) }
       }
     }
-    BpeModel(merges.toIndexedSeq)
+    BpeModel(merges.toIndexedSeq, alphabet)
+  }
+
+  /**
+   * Serialize a model in the standard merges.txt shape (one merge per line,
+   * space-separated pair, rank = line order) plus a `#alphabet` header so the
+   * token-id vocabulary survives the round trip. Symbols can never contain
+   * whitespace ([[graft.operators.TextOps.bpeTokenPattern]] excludes it), so
+   * space-separated is unambiguous.
+   */
+  def writeBpeFile(model: BpeModel): String =
+    ("#graft-bpe v1" ::
+      ("#alphabet" +: model.alphabet).mkString(" ") ::
+      model.merges.map(m => m._1 + " " + m._2).toList).mkString("\n")
+
+  /** Parse [[writeBpeFile]] output back into a [[BpeModel]]. */
+  def parseBpeFile(lines: Iterator[String]): BpeModel = {
+    val it = lines.map(_.trim).filter(_.nonEmpty)
+    require(it.hasNext, "empty BPE model file")
+    val header = it.next()
+    require(header.startsWith("#graft-bpe"), s"not a graft BPE file: '$header'")
+    var alphabet: IndexedSeq[String] = IndexedSeq.empty
+    val merges = scala.collection.immutable.IndexedSeq.newBuilder[(String, String)]
+    it.foreach { line =>
+      if (line.startsWith("#alphabet"))
+        alphabet = line.split(" ").iterator.drop(1).filter(_.nonEmpty).toIndexedSeq
+      else if (!line.startsWith("#")) {
+        val sep = line.indexOf(' ')
+        require(sep > 0 && sep < line.length - 1 && line.indexOf(' ', sep + 1) < 0,
+          s"malformed merge line: '$line'")
+        merges += ((line.substring(0, sep), line.substring(sep + 1)))
+      }
+    }
+    BpeModel(merges.result(), alphabet)
   }
 
   /**

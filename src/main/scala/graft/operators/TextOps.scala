@@ -41,6 +41,12 @@ object TextOps {
                   model: org.apache.spark.broadcast.Broadcast[graft.ml.Bpe.BpeModel]): Column =
     graft.functions.BpeExpressions.bpe_encode(text, model)
 
+  /** Learned-BPE tokenization to TOKEN IDS (`model.vocab` positions,
+    * `<unk>`=0) — the array<int> a training pipeline actually feeds a model. */
+  def bpeTokenizeIds(text: Column,
+                     model: org.apache.spark.broadcast.Broadcast[graft.ml.Bpe.BpeModel]): Column =
+    graft.functions.BpeExpressions.bpe_encode_ids(text, model)
+
   /** Word n-gram shingles as space-joined strings; < n tokens → empty array. */
   /** Interpreted-HOF shingling over an ARBITRARY token-array column — for
     * composition with pre-tokenized inputs. Hot paths over raw text must use

@@ -85,6 +85,46 @@ class BpeSpec extends AnyFunSuite {
     assert(n.forall(_ > 0))
   }
 
+  test("token-id encoding: vocab = <unk> + sorted alphabet + merge products; " +
+    "ids round-trip through vocab; out-of-alphabet code points → 0") {
+    val model = Bpe.learnMerges(classicCounts, numMerges = 4)
+    // alphabet of {low, lower, newest, widest}: d e i l n o r s t w
+    assert(model.alphabet == IndexedSeq("d", "e", "i", "l", "n", "o", "r", "s", "t", "w"))
+    assert(model.vocab.take(1) == IndexedSeq("<unk>"))
+    assert(model.vocab.drop(11) == IndexedSeq("es", "est", "lo", "low"))
+    val bc = spark.sparkContext.broadcast(model)
+    val got = Seq((1L, "lowest xyz"), (2L, "né")).toDF("id", "text")
+      .select(col("id"), TextOps.bpeTokenizeIds(col("text"), bc).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // "lowest" → [low, est]; "xyz": x,y ∉ alphabet → 0, z ∉ alphabet → 0
+    val v = model.vocab
+    assert(got(1L).map(i => v(i)) ==
+      Seq("low", "est", "<unk>", "<unk>", "<unk>"))
+    assert(got(1L).take(2) == Seq(v.indexOf("low"), v.indexOf("est")))
+    // é is out-of-alphabet → <unk>; n is in-alphabet
+    assert(got(2L).map(i => v(i)) == Seq("n", "<unk>"))
+  }
+
+  test("model persistence: writeBpeFile → parseBpeFile round-trips merges, " +
+    "alphabet, vocab and the encoding itself") {
+    val model = Bpe.learnMerges(classicCounts, numMerges = 4)
+    val text = Bpe.writeBpeFile(model)
+    assert(text.linesIterator.next().startsWith("#graft-bpe"))
+    val back = Bpe.parseBpeFile(text.linesIterator)
+    assert(back.merges == model.merges)
+    assert(back.alphabet == model.alphabet)
+    assert(back.vocab == model.vocab)
+    assert(BpeExpressions.encodeWord("lowest", back).toSeq == Seq("low", "est"))
+    // an empty model (no merges learned) round-trips too
+    val empty = Bpe.parseBpeFile(Bpe.writeBpeFile(
+      Bpe.BpeModel(IndexedSeq.empty, IndexedSeq("a", "b"))).linesIterator)
+    assert(empty.merges.isEmpty && empty.alphabet == IndexedSeq("a", "b"))
+    // malformed inputs fail loudly
+    intercept[IllegalArgumentException](Bpe.parseBpeFile(Iterator("not a model")))
+    intercept[IllegalArgumentException](
+      Bpe.parseBpeFile(Iterator("#graft-bpe v1", "a b c")))
+  }
+
   test("non-BMP code points are single symbols end-to-end (surrogate pair " +
     "never split by learner or apply)") {
     val emoji = new String(Character.toChars(0x1F600))
