@@ -478,6 +478,17 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Example packing (concat-and-split): per deterministic md5 shard, lay
+    // tokenized docs end-to-end and cut fixed 256-token training sequences.
+    // The Window partitions by shard (the parallelism unit) — never an
+    // unpartitioned global Window; only (id, n_tokens) pairs shuffle.
+    "q_pack_sequences" -> ((s, dir) => {
+      TextOps.packSequences(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", seqLen = 256, numShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary with dense global token ids (occurrences desc, token
     // asc) — range-partitioned sort + zipWithIndex, NOT an unpartitioned
     // Window (single-task trap).
@@ -564,7 +575,10 @@ object SparkEntry {
         .select(col("doc_id"), Curation.redact(concat(
           col("text"), lit(" contact u"), col("doc_id").cast("string"),
           lit("@ex-a.co or see https://ex.co/d/"),
-          col("doc_id").cast("string"), lit("?q=1 end"))).as("clean_text"))
+          col("doc_id").cast("string"), lit("?q=1 call (555) 867-53"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 end"))).as("clean_text"))
         .orderBy("doc_id")
     }),
 
@@ -1239,6 +1253,27 @@ object SparkEntry {
         |FROM base, UNNEST(range(0, CAST(ceil(array_length(toks) / 64.0) AS BIGINT))) AS t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // Packing replay: same whitespace token counts, same md5-shard
+    // arithmetic as q_split_assign, cumulative sum per shard ordered by
+    // doc_id, integer division (DuckDB `//` on BIGINT = Spark `div`).
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |  FROM toks
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((e - n_tokens) // 256 AS BIGINT) AS seq_id,
+        |  CAST((e - n_tokens) % 256 AS BIGINT) AS seq_offset,
+        |  ((e - 1) // 256) > ((e - n_tokens) // 256) AS straddles
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // The audio corpus is synthesized IN-QUERY from closed-form parameters
     // (sine clips; sfDir-independent), so the oracle replays the synthesis
     // and the stats arithmetic directly — TRUNC matches Scala's
@@ -1371,13 +1406,19 @@ object SparkEntry {
     // backreferences, so Java regex and RE2 agree); DuckDB needs the 'g' flag
     // for replace-all, Spark's regexp_replace is replace-all by default.
     "q_redact" ->
-      ("""SELECT doc_id, regexp_replace(regexp_replace(
+      ("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |  concat(text, ' contact u', CAST(doc_id AS VARCHAR),
-        |         '@ex-a.co or see https://ex.co/d/', CAST(doc_id AS VARCHAR), '?q=1 end'),
+        |         '@ex-a.co or see https://ex.co/d/', CAST(doc_id AS VARCHAR),
+        |         '?q=1 call (555) 867-53', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+        |         ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 end'),
         |  '""".stripMargin + graft.operators.Curation.emailPattern +
         """', '<EMAIL>', 'g'),
         |  '""".stripMargin + graft.operators.Curation.urlPattern +
-        """', '<URL>', 'g') AS clean_text
+        """', '<URL>', 'g'),
+        |  '""".stripMargin + graft.operators.Curation.phonePattern +
+        """', '<PHONE>', 'g'),
+        |  '""".stripMargin + graft.operators.Curation.ipPattern +
+        """', '<IP>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     "q_normalize" ->

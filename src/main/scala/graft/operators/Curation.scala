@@ -71,17 +71,34 @@ object Curation {
     * curation redactor errs toward over-masking. */
   val urlPattern: String = "https?://[^ \\t\\n\\r]+"
 
+  /** Phone pattern: separator-delimited 3-3-4 shapes with optional +1/1 and
+    * parenthesized area code. The leading `\b` rides the digit branch only
+    * (there is no word boundary between a space and `(`); separators are
+    * REQUIRED between groups so arbitrary 10-digit ids are not masked.
+    * RE2-compatible (no lookaround). */
+  val phonePattern: String =
+    "(?:\\+1[-. ]|\\b1[-. ])?(?:\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
+
+  /** IPv4 pattern: dotted quad. Version strings like `1.2.3.4` are masked
+    * too — the over-masking bias, as with URLs. */
+  val ipPattern: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
   /**
-   * PII-style redaction for training corpora: masks emails then URLs with
-   * typed placeholder tokens. Order matters — an email inside a URL query
-   * string is masked by the email pass first, then the surrounding URL
-   * collapses around the placeholder. Row-local; pure regexp_replace so the
-   * scan stays in whole-stage codegen.
+   * PII-style redaction for training corpora: masks emails, then URLs, then
+   * phone numbers, then IPv4 addresses with typed placeholder tokens. Order
+   * matters — an email inside a URL query string is masked by the email pass
+   * first, then the surrounding URL collapses around the placeholder; an IP
+   * inside a URL is gone before the IP pass. Row-local; pure regexp_replace
+   * so the scan stays in whole-stage codegen.
    */
   def redact(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      urlPattern, "<URL>")
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailPattern, "<EMAIL>"),
+          urlPattern, "<URL>"),
+        phonePattern, "<PHONE>"),
+      ipPattern, "<IP>")
 
   /**
    * Canonical text normalization before exact/near dedup: lowercase, collapse

@@ -266,4 +266,60 @@ object TextOps {
           .cast("int").as("n_tokens"),
         col("col").as("chunk_text"))
   }
+
+  /**
+   * Example packing (GPT-style concat-and-split): within each deterministic
+   * output shard, lay the shard's tokenized documents end-to-end (ordered by
+   * id) and cut fixed `seqLen`-token training sequences; a document may
+   * straddle a cut. The step AFTER [[chunkTokens]] — chunking bounds one
+   * document, packing fills sequences from many (a mean-doc ≪ seqLen corpus
+   * otherwise wastes most of every sequence as padding).
+   *
+   * Scale shape: the shard is the parallelism unit — assignment is the same
+   * deterministic md5 arithmetic as [[Curation.hashBucket]] (a pure function
+   * of the id: reproducible by any auditing engine, never `rand()` or
+   * partitioning-dependent), so the one Window here PARTITIONS BY shard — a
+   * real pipeline packs into O(10⁴) shards, each an independent bounded
+   * sort, never the unpartitioned-Window single-task trap. The shuffle
+   * carries (id, n_tokens) pairs only — document text never enters the
+   * exchange; callers join the placement back to payload by id at write
+   * time. Integer division rides SQL `div` (no double rounding at
+   * corpus-scale cumulative counts).
+   *
+   * Returns (idCol, shard, n_tokens, seq_id, seq_offset, straddles):
+   * `seq_id` = which sequence of the shard the document STARTS in,
+   * `seq_offset` = its token offset there, `straddles` = whether it crosses
+   * into the following sequence(s).
+   */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, seqLen: Int,
+                    numShards: Int): org.apache.spark.sql.DataFrame =
+    packCounts(
+      df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", seqLen, numShards)
+
+  /** [[packSequences]] over a PRE-TOKENIZED length column — pack anything
+    * with a token count: [[chunkTokens]] output (use a composite id),
+    * `size(bpeTokenizeIds(...))` lengths, externally tokenized corpora.
+    * Same contract: deterministic md5 shard from the id, per-shard window
+    * cumsum, zero-length rows dropped. */
+  def packCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 nTokensCol: String, seqLen: Int,
+                 numShards: Int): org.apache.spark.sql.DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(idCol), col(nTokensCol).cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("shard", Curation.hashBucket(col(idCol), numShards).cast("int"))
+      .withColumn("__end", sum(col("__n")).over(w))
+      .select(col(idCol), col("shard"), col("__n").as(nTokensCol),
+        expr(s"(__end - __n) div ${seqLen}").as("seq_id"),
+        ((col("__end") - col("__n")) % seqLen).as("seq_offset"),
+        expr(s"((__end - 1) div ${seqLen}) > ((__end - __n) div ${seqLen})")
+          .as("straddles"))
+  }
 }

@@ -44,12 +44,17 @@ class CurationSpec extends AnyFunSuite {
     assert(counts("val") > 20 && counts("test") > 20)
   }
 
-  test("redact masks emails and URLs, leaves plain text alone") {
+  test("redact masks emails, URLs, phones and IPv4s, leaves plain text alone") {
     val texts = Seq(
       "write to alice.smith+x@sub.example.co.uk today",
       "docs at https://ex.co/a/b?q=1&r=2 and http://plain.io/x",
       "no pii here, just words",
-      "mixed bob@ex.io then https://ex.io/u/bob@ex.io trailing")
+      "mixed bob@ex.io then https://ex.io/u/bob@ex.io trailing",
+      "call (555) 867-5309 or +1 555-867-5309 or 555.867.5309 now",
+      "host 10.0.3.7 and 192.168.255.1 up",
+      // phone-lookalikes that must NOT be masked: no separators, wrong
+      // grouping, year ranges
+      "id 5558675309 range 1999-2000 2001-2002 part 12345-678-9012 ok")
     val got = texts.toDF("text").select(Curation.redact(col("text")))
       .as[String].collect()
     assert(got(0) == "write to <EMAIL> today")
@@ -58,6 +63,9 @@ class CurationSpec extends AnyFunSuite {
     // email pass runs first: the address inside the URL is masked, then the
     // URL run (which now contains the placeholder) collapses around it
     assert(got(3) == "mixed <EMAIL> then <URL> trailing")
+    assert(got(4) == "call <PHONE> or <PHONE> or <PHONE> now")
+    assert(got(5) == "host <IP> and <IP> up")
+    assert(got(6) == texts(6))
   }
 
   test("normalize: lowercase, collapse whitespace, trim") {

@@ -151,6 +151,75 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.find(t => t._1 == 2L).get._4 == "only three tokens")
   }
 
+  test("packSequences: scalar parity per md5 shard (contiguous tiling, " +
+    "straddle flag), partitioning invariance, window partitioned by shard") {
+    val docs = (1L to 24L).map(i =>
+      (i, (1L to (i % 5 + 1)).map(j => s"t$j").mkString(" "))) :+ (99L, "   ")
+    val df = docs.toDF("doc_id", "text")
+    val L = 7; val S = 3
+    def run(parts: Int) =
+      TextOps.packSequences(df.repartition(parts), "doc_id", "text", L, S)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))
+        .sortBy(_._1)
+    val got = run(1)
+    // scalar replay of hashBucket + per-shard cumsum
+    def shardOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % S).toInt
+    }
+    val expect = docs.filter(_._2.trim.nonEmpty)
+      .map { case (id, text) => (id, shardOf(id), text.trim.split("\\s+").length.toLong) }
+      .groupBy(_._2).toSeq.flatMap { case (_, members) =>
+        var end = 0L
+        members.sortBy(_._1).map { case (id, sh, n) =>
+          end += n
+          val start = end - n
+          (id, sh, n, start / L, start % L, (end - 1) / L > start / L)
+        }
+      }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    assert(got.length == 24, "blank doc contributes no placement")
+    assert(run(7).toSeq == expect, "placement must not depend on partitioning")
+    // straddle flag consistent with offset arithmetic
+    got.foreach { case (_, _, n, _, off, straddles) =>
+      assert(straddles == (off + n > L))
+    }
+    // the window is per-shard, never the unpartitioned single-task shape
+    val plan = TextOps.packSequences(df, "doc_id", "text", L, S)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"expected a shard-partitioned window in:\n$plan")
+  }
+
+  test("packCounts: packSequences equivalence on text, and packs chunker " +
+    "output via a composite id") {
+    val docs = (1L to 12L).map(i =>
+      (i, (1L to (i % 7 + 3)).map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")
+    val viaText = TextOps.packSequences(docs, "doc_id", "text", 7, 2)
+      .collect().map(_.toSeq).toSet
+    val viaCounts = TextOps.packCounts(
+      docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", 7, 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaText == viaCounts)
+    // chunk → pack composition: chunks of ≤4 tokens packed into 8-token
+    // sequences; every chunk fits, so seq_offset + n_tokens ≤ 8 unless the
+    // chunk straddles
+    val chunks = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4)
+      .select(concat(col("doc_id"), lit("_"), col("chunk_idx")).as("chunk_id"),
+        col("n_tokens"))
+    val packed = TextOps.packCounts(chunks, "chunk_id", "n_tokens", 8, 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getBoolean(5)))
+    assert(packed.length == chunks.count())
+    packed.foreach { case (id, n, off, straddles) =>
+      assert(straddles == (off + n > 8), id)
+    }
+  }
+
   test("vocabulary: counts, min-count filter, dense ids ordered by " +
     "(occurrences desc, token asc), partitioning-invariant") {
     val docs = Seq(
