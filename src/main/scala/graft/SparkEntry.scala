@@ -848,6 +848,24 @@ object SparkEntry {
         dim = 64, threshold = 0.999)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup-shaped near-dup: k-means-cluster candidate generation (coarse
+    // centroids = first 8 corpus vectors, deterministic) + exact-cosine
+    // verify within clusters. FULLY oracle-checked — the SQL replays the
+    // squared-L2 argmin assignment (tie → lower centroid id) AND the
+    // same-cluster constraint, so both the quantizer and the candidate rule
+    // are hash-gated, not just the cosine arithmetic. Injected exact dupes
+    // quantize identically ⇒ always same-cluster ⇒ always found.
+    "q_embed_semantic_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Similarity.semanticNearDupPairs(embWithDupes(s, dir), "vec_id", "embedding",
+        centroids, threshold = 0.999, maxBucket = 1000000)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -1524,6 +1542,34 @@ object SparkEntry {
         |  ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
         |FROM all_emb a JOIN all_emb b ON a.vec_id < b.vec_id
         |WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup replay: same dupe-injected corpus as q_embed_neardup; the
+    // argmin CTE replays the coarse quantizer (squared-L2, tie → lower cid)
+    // and the pair join carries the SAME-CLUSTER constraint, so a quantizer
+    // or candidate-rule regression hash-fails, not only a cosine change.
+    "q_embed_semantic_neardup" ->
+      """WITH all_emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+        |), cents AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), assign AS (
+        |  SELECT vec_id, v, cid AS list_id FROM (
+        |    SELECT e.vec_id, e.v, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(e.v, (x, i) -> (x - ct.cv[i]) * (x - ct.cv[i]))) ASC,
+        |        ct.cid ASC) AS rn
+        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM all_emb) e
+        |    CROSS JOIN cents ct)
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS cosine
+        |FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
 
     // IVF recall@k replayed in SQL: coarse assignment + probe selection are

@@ -316,4 +316,55 @@ object Similarity {
         .select("id_a", "id_b", "cosine")
     }
   }
+
+  /**
+   * SemDeDup-shaped near-duplicate pairs (Abbas et al. 2023, arXiv:2303.09540):
+   * bucket by nearest k-means centroid — the corpus-ADAPTED coarse quantizer,
+   * via the same broadcast `nearest_centroid` expression the IVF family
+   * plans — then verify with exact cosine ≥ threshold INSIDE each cluster.
+   * vs [[embeddingNearDupPairs]] (hyperplane LSH): buckets follow the data
+   * distribution instead of random projections, so the candidate budget
+   * concentrates where the corpus actually clusters; the price is that a
+   * pair split across two clusters is missed — the documented SemDeDup
+   * approximation (the LSH variant's multi-chunk pigeonhole has no such
+   * blind spot but needs `chunks` hash passes).
+   *
+   * Scale shape: one shuffle on `list_id` carrying (id, vec, list_id);
+   * within-cluster verify is quadratic in cluster size, so k_c must grow
+   * with the corpus (SemDeDup's own contract: clusters of ~10³–10⁴ rows);
+   * [[graft.operators.Dedup]]'s hot-bucket guard drops clusters over
+   * `maxBucket` outright rather than letting one degenerate cluster go
+   * quadratic. The assignment stage feeds the guard count, its probe and
+   * both join sides — persisted once, released after the (small) pair set
+   * materializes.
+   */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: Array[Array[Double]],
+                           threshold: Double = 0.95,
+                           maxBucket: Int = 10000): DataFrame = {
+    val listed = df.select(col(idCol), col(vecCol).as("v"),
+      withListId(df, vecCol, centroids).as("list_id"))
+    graft.operators.Dedup.withPersistedStage(listed) { ls =>
+      val ok = ls.groupBy(col("list_id")).count()
+        .where(col("count") <= maxBucket).drop("count")
+      val capped = ls.join(ok, Seq("list_id"), "left_semi")
+      val a = capped.select(col("list_id"), col(idCol).as("id_a"), col("v").as("v_a"))
+      val b = capped.select(col("list_id"), col(idCol).as("id_b"), col("v").as("v_b"))
+      a.join(b, Seq("list_id"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+        .where(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+  }
+
+  /** [[semanticNearDupPairs]] → connected components: (id, group_id =
+    * min member id) clusters, ready for `Dedup.keepRepresentatives` /
+    * `Curation.splitByGroup`. */
+  def semanticNearDupGroups(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: Array[Array[Double]],
+                            threshold: Double = 0.95,
+                            maxBucket: Int = 10000): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+      semanticNearDupPairs(df, idCol, vecCol, centroids, threshold, maxBucket))
 }

@@ -125,6 +125,37 @@ class BpeSpec extends AnyFunSuite {
       Bpe.parseBpeFile(Iterator("#graft-bpe v1", "a b c")))
   }
 
+  test("property (seeded): over random corpora — token concat reconstructs " +
+    "the word, every token is vocab-resolvable, persistence round-trips, " +
+    "training-alphabet words never hit <unk>") {
+    val rnd = new scala.util.Random(4242)
+    (0 until 30).foreach { _ =>
+      val alphaSize = 2 + rnd.nextInt(6)
+      val alpha = ('a' to 'z').take(alphaSize).map(_.toString)
+      val words = (0 until 4 + rnd.nextInt(12)).map { _ =>
+        ((0 until 1 + rnd.nextInt(8)).map(_ => alpha(rnd.nextInt(alphaSize))).mkString,
+          1L + rnd.nextInt(20))
+      }.groupBy(_._1).map { case (w, cs) => (w, cs.map(_._2).sum) }.toSeq
+      val model = Bpe.learnMerges(words, numMerges = rnd.nextInt(12))
+      // persistence round-trip preserves everything
+      val back = Bpe.parseBpeFile(Bpe.writeBpeFile(model).linesIterator)
+      assert(back.merges == model.merges && back.alphabet == model.alphabet)
+      // encode of arbitrary words over (and off) the alphabet
+      (0 until 10).foreach { _ =>
+        val w = (0 until 1 + rnd.nextInt(10))
+          .map(_ => alpha(rnd.nextInt(alphaSize))).mkString
+        val toks = BpeExpressions.encodeWord(w, model)
+        assert(toks.mkString == w, s"concat must reconstruct '$w'")
+        toks.foreach { t =>
+          val id = model.tokenIds.get(t)
+          assert(id != null && id > 0,
+            s"token '$t' of in-alphabet word '$w' must resolve to a non-<unk> id")
+          assert(model.vocab(id) == t, s"vocab($id) must be '$t'")
+        }
+      }
+    }
+  }
+
   test("non-BMP code points are single symbols end-to-end (surrogate pair " +
     "never split by learner or apply)") {
     val emoji = new String(Character.toChars(0x1F600))

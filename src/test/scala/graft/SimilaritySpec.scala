@@ -170,6 +170,48 @@ class SimilaritySpec extends AnyFunSuite {
     (0L until 10L).foreach(i => assert(groups(i + 1000) == groups(i), s"dupe $i"))
   }
 
+  test("semanticNearDupPairs = exactly the same-cluster cosine≥t pairs " +
+    "(scalar argmin + candidate-rule replay); injected dupes always found; " +
+    "hot-cluster cap drops; groups cluster the dupe chains") {
+    val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
+    val withDupes = corpus.unionByName(
+      corpus.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val t = 0.5
+    val got = Similarity.semanticNearDupPairs(withDupes, "vec_id", "embedding",
+      centroids, threshold = t, maxBucket = 100000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // scalar replay of quantizer + same-cluster rule + verify
+    val all = vecs.map { case (id, v) => (id, v.map(_.toDouble)) } ++
+      vecs.filter(_._1 < 10).map { case (id, v) => (id + 1000, v.map(_.toDouble)) }
+    val lists = all.map { case (id, v) =>
+      id -> Kernels.nearestCentroid(v, centroids) }.toMap
+    val expect = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && lists(ia) == lists(ib) &&
+        Kernels.cosineSimilarity(va, vb) >= t
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+    // identical vectors quantize identically → dupes are always same-cluster
+    (0L until 10L).foreach(i => assert(got.contains((i, i + 1000)), s"dupe $i"))
+    // there IS at least one cross-cluster cosine≥t pair this run would miss
+    // with a weaker threshold — assert the rule actually constrains (the
+    // pair set is strictly smaller than unconstrained brute force)
+    val unconstrained = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && Kernels.cosineSimilarity(va, vb) >= t
+    } yield (ia, ib)).toSet
+    assert(got.subsetOf(unconstrained) && got != unconstrained,
+      "expected the same-cluster constraint to bite on this corpus")
+    // quadratic-hot-cluster guard: maxBucket=1 drops every multi-member list
+    assert(Similarity.semanticNearDupPairs(withDupes, "vec_id", "embedding",
+      centroids, threshold = 0.0, maxBucket = 1).count() == 0)
+    // CC groups label each dupe chain together
+    val groups = Similarity.semanticNearDupGroups(withDupes, "vec_id",
+      "embedding", centroids, threshold = t).as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach(i => assert(groups(i + 1000) == groups(i)))
+  }
+
   private lazy val pqSetup = {
     val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
     val m = 4; val kS = 8; val subLen = dim / m

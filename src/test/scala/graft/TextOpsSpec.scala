@@ -194,6 +194,29 @@ class TextOpsSpec extends AnyFunSuite {
       s"expected a shard-partitioned window in:\n$plan")
   }
 
+  test("packSequences property (seeded): random corpora tile every shard " +
+    "contiguously — each doc starts exactly where the previous one ended") {
+    val rnd = new scala.util.Random(777)
+    (0 until 2).foreach { _ =>
+      val docs = (0 until 80).map { i =>
+        (i.toLong * 1000 + rnd.nextInt(1000),
+          (0 until rnd.nextInt(20)).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val L = 5 + rnd.nextInt(20)
+      val got = TextOps.packSequences(docs, "doc_id", "text", L, 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      got.groupBy(_._2).values.foreach { members =>
+        var expectStart = 0L
+        members.sortBy(_._1).foreach { case (id, _, n, seqId, off) =>
+          assert(seqId * L + off == expectStart,
+            s"doc $id starts at ${seqId * L + off}, expected $expectStart (L=$L)")
+          expectStart += n
+        }
+      }
+    }
+  }
+
   test("packCounts: packSequences equivalence on text, and packs chunker " +
     "output via a composite id") {
     val docs = (1L to 12L).map(i =>
