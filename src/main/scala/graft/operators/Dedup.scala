@@ -53,9 +53,18 @@ object Dedup {
   private[graft] def withPersistedStages(stages: Seq[DataFrame])
                                         (build: Seq[DataFrame] => DataFrame): DataFrame = {
     val cached = stages.map(_.persist(StorageLevel.MEMORY_AND_DISK))
-    try build(cached).localCheckpoint(true)
-    finally { cached.foreach(_.unpersist(blocking = false)); () }
+    if (explainInterior) build(cached)
+    else
+      try build(cached).localCheckpoint(true)
+      finally { cached.foreach(_.unpersist(blocking = false)); () }
   }
+
+  /** PlanDump-only: skip the eager result checkpoint so `explain` shows the
+    * INTERIOR plan (InMemoryTableScan stages, cap guards, pair joins)
+    * instead of an opaque `Scan ExistingRDD`. Execution semantics are WRONG
+    * in this mode — stages stay persisted and the unpersist/checkpoint
+    * lifecycle never runs — so it must never be set outside plan dumping. */
+  @volatile private[graft] var explainInterior: Boolean = false
 
   /** Exact dedup groups: content key → representative id + duplicate count.
     *

@@ -201,4 +201,30 @@ class StreamingSpec extends AnyFunSuite {
     // normalize runs after redact, so the placeholder is lowercased too
     assert(got.exists(_._3 == "write to <email> now"))
   }
+
+  test("learned-BPE tokenization runs unchanged on a stream (broadcast " +
+    "model in a native expression) and matches batch output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val model = graft.ml.Bpe.learnMerges(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 4)
+    val bc = spark.sparkContext.broadcast(model)
+    val data = Seq((1L, "the lowest low"), (2L, "newest widest!"), (3L, ""))
+    def tok(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextOps.bpeTokenize(col("text"), bc).as("toks"),
+      TextOps.bpeTokenizeIds(col("text"), bc).as("ids"))
+    val input = MemoryStream[(Long, String)]
+    val q = tok(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_out").start()
+    input.addData(data: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bpe_out").as[(Long, Seq[String], Seq[Int])].collect().toSet
+    val want = tok(data.toDF("doc_id", "text"))
+      .as[(Long, Seq[String], Seq[Int])].collect().toSet
+    assert(got == want && got.size == 3)
+    assert(got.exists(_._2.containsSlice(Seq("low", "est"))))
+  }
 }
