@@ -509,6 +509,24 @@ object SparkEntry {
         .orderBy("doc_id", "token")
     }),
 
+    // CCNet-shaped LM quality scoring (Wenzek et al. 2019): add-k bigram LM
+    // trained ON the corpus itself, every document scored by its
+    // cross-entropy under that LM (self-perplexity — outlier docs score
+    // high). The oracle replays train AND score end-to-end in SQL: bigram
+    // counts, prefix counts, vocab size, the smoothing arithmetic and the
+    // per-doc aggregate. Perplexity (= e^ce, a monotone transform) is left
+    // out of the hashed output to keep cross-engine transcendentals to the
+    // ln/round pair already proven by q_tfidf.
+    "q_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val lm = TextOps.bigramLm(docs, "text", k = 0.1)
+      TextOps.lmScore(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Learned BPE tokenization end-to-end: distributed word-count aggregate →
     // bounded driver-side merge learning (graft.ml.Bpe) → merges.txt-style
     // serialize/parse round trip (the artifact a pipeline reuses across jobs)
@@ -579,6 +597,25 @@ object SparkEntry {
           lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
           lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7 end"))).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // C4/RefinedWeb boilerplate-line removal: multi-line docs are synthesized
+    // (corpus text is single-line) — every doc gets a shared copyright footer
+    // (hot → dropped), every third doc a newsletter banner (hot → dropped),
+    // each doc one unique marker line (kept) and a blank line (structural —
+    // never counted or removed). The oracle replays split / count / filter /
+    // rejoin by line CONTENT; the Spark side groups by the dual
+    // (xxhash64, sha2-256) fingerprint, so a fingerprint bug hash-fails.
+    "q_remove_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat(
+          col("text"), lit("\nuniq marker "), col("doc_id").cast("string"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\nsubscribe to our newsletter")).otherwise(lit("")),
+          lit("\n\n(c) example corp all rights reserved")).as("text"))
+      Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 10L)
         .orderBy("doc_id")
     }),
 
@@ -674,6 +711,27 @@ object SparkEntry {
           col("text").as("bench_text"))
       Dedup.decontaminate(train, bench, "doc_id", "bench_id",
         "text", "bench_text", shingleN = 3, threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination — the 100 TB path: benchmark
+    // shingles ride ONE broadcast Bloom filter; each training doc is tested
+    // row-locally at the scan and only possible-hit docs (≥ ceil(θ·min
+    // bench-shingle-count) probable shared shingles) enter the exact
+    // containment join. Output is provably identical to the exact operator
+    // (no Bloom false negatives; false positives die in the verify join),
+    // so the oracle replays the EXACT arithmetic — a prefilter bug that
+    // drops a contaminated doc hash-fails. Distinct bench slice/threshold
+    // from q_decontaminate so the two queries can't mask each other.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
+      val bench = t(s, dir, "documents")
+        .where(col("doc_id") >= 10 && col("doc_id") < 25)
+        .select((col("doc_id") + 6000000).as("bench_id"),
+          col("text").as("bench_text"))
+      Dedup.decontaminateBloom(train, bench, "doc_id", "bench_id",
+        "text", "bench_text", shingleN = 3, threshold = 0.7)
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -1220,6 +1278,30 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
 
+    // The Bloom prefilter is output-invisible (conservative prune + exact
+    // verify), so the oracle is the same exact containment arithmetic on
+    // this query's bench slice and threshold.
+    "q_decontaminate_bloom" ->
+      """WITH tsh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
+        |  WHERE array_length(toks) >= 3
+        |), bsh AS (
+        |  SELECT doc_id + 6000000 AS bench_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id >= 10 AND doc_id < 25)
+        |  WHERE array_length(toks) >= 3
+        |), contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM tsh t JOIN bsh b ON len(list_intersect(t.sh, b.sh)) > 0
+        |  WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.7
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_groups" ->
       """WITH RECURSIVE all_docs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 500
@@ -1361,6 +1443,68 @@ object SparkEntry {
         |  ROUND((CAST(tc AS DOUBLE) / len) * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
         |FROM terms JOIN dfreq ON dfreq.token = terms.token CROSS JOIN n
         |ORDER BY terms.doc_id, terms.token""".stripMargin,
+
+    // Bigram-LM cross-entropy replayed end-to-end: bigram counts, prefix
+    // counts, vocab size, the add-k arithmetic and the per-doc aggregate.
+    // Parallel unnest calls zip element-wise in DuckDB; range(1, len) is
+    // empty for single-token docs, so they drop out exactly like Spark's
+    // empty shingle array. The unseen-prefix CASE mirrors lmScore verbatim
+    // (it cannot fire self-scored, but the formulas must match anyway).
+    "q_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] for i in range(1, len(t))]) AS w1,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM toks
+        |), c12 AS (
+        |  SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg
+        |), c1 AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+        |), v AS (
+        |  SELECT COUNT(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM toks)
+        |)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(-SUM(CASE WHEN c1.c1 IS NULL THEN LN(1.0 / v.v)
+        |    ELSE LN((COALESCE(c12.c12, 0) + 0.1) / (c1.c1 + 0.1 * v.v)) END)
+        |    / COUNT(*), 6) AS cross_entropy
+        |FROM bg b LEFT JOIN c12 ON b.bg = c12.bg
+        |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // Boilerplate-line removal replayed by line CONTENT (Spark groups by the
+    // dual xxhash64/sha2 fingerprint — a collision or hashing bug produces a
+    // different drop set and hash-fails). Parallel unnests zip line text
+    // with its 0-based index; blank lines never enter `hot` and survive in
+    // `kept`, preserving paragraph structure.
+    "q_remove_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text || chr(10) || 'uniq marker ' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+        |    || chr(10) || chr(10) || '(c) example corp all rights reserved' AS text
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, unnest(range(0, len(ls))) AS line_no, unnest(ls) AS ln
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs)
+        |), hot AS (
+        |  SELECT ln FROM lines WHERE LENGTH(TRIM(ln)) > 0
+        |  GROUP BY ln HAVING COUNT(DISTINCT doc_id) >= 10
+        |), kept AS (
+        |  SELECT l.doc_id, l.line_no, l.ln
+        |  FROM lines l LEFT JOIN hot h USING (ln) WHERE h.ln IS NULL
+        |), rebuilt AS (
+        |  SELECT doc_id, array_to_string(list(ln ORDER BY line_no), chr(10)) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |), drops AS (
+        |  SELECT doc_id, COUNT(*) AS n_dropped FROM lines JOIN hot USING (ln) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(dr.n_dropped, 0) AS INT) AS n_dropped_lines
+        |FROM docs d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN drops dr USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // element-wise mean per label replayed dimension-wise (AVG over the
     // DOUBLE[] slot per dim; list indexing is 1-based in DuckDB)

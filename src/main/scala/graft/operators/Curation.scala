@@ -139,4 +139,53 @@ object Curation {
                          k: Int): DataFrame =
     df.join(samplePerGroup(df, groupCols, idCol, k).select(idCol),
       Seq(idCol), "left_semi")
+
+  /**
+   * C4/RefinedWeb-style boilerplate LINE removal: delete every line whose
+   * exact content recurs in ≥ `minDocs` DISTINCT documents (nav menus,
+   * cookie banners, copyright footers — C4 [Raffel et al. 2020,
+   * arXiv:1910.10683 §2.2] drops any three-sentence span occurring more than
+   * once; RefinedWeb [Penedo et al. 2023, arXiv:2306.01116] removes repeated
+   * lines). Blank / whitespace-only lines are structural, not boilerplate —
+   * they are never counted and never removed, so paragraph breaks survive.
+   *
+   * Scale shape — document text never enters an exchange:
+   *  1. row-local split + per-line dual content fingerprint
+   *     (xxhash64, sha2-256 — the [[Dedup.exactGroups]] collision argument);
+   *     the shuffle carries (fingerprint, doc id) pairs;
+   *  2. the hot-line set is an aggregate on the fingerprints
+   *     (count_distinct(doc) ≥ minDocs) — corpus-frequency-sized, tiny;
+   *  3. per-doc REMOVAL SETS (line indexes) come back as ids-only rows,
+   *     aggregated to one int array per affected doc;
+   *  4. reconstruction joins the removal set to the original row and drops
+   *     the listed indexes with a row-local indexed `filter` — the lambda
+   *     runs once per LINE (chunk-density, like [[TextOps.chunkTokens]]'s
+   *     per-chunk lambda), not per character or token.
+   * Untouched documents reconstruct byte-identically (split + join on the
+   * same delimiter is the identity when nothing is dropped).
+   *
+   * Returns every input row as (idCol, clean_text, n_dropped_lines).
+   */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .where(length(trim(col("line"))) > 0)
+      .select(col(idCol), col("line_no"),
+        xxhash64(col("line")).as("__h64"), sha2(col("line"), 256).as("__hsha"))
+    val hot = lines.groupBy(col("__h64"), col("__hsha"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__h64", "__hsha")
+    val drops = lines.join(hot, Seq("__h64", "__hsha"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("line_no"))).as("__drop"))
+    df.join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__drop").isNull, col(textCol)).otherwise(
+          array_join(filter(split(col(textCol), "\n"),
+            (_, i) => !array_contains(col("__drop"), i)), "\n")).as("clean_text"),
+        coalesce(size(col("__drop")), lit(0)).cast("int").as("n_dropped_lines"))
+  }
 }

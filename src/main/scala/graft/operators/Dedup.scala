@@ -420,6 +420,60 @@ object Dedup {
     left.join(contaminated, Seq(leftId), "left_anti")
   }
 
+  /**
+   * [[decontaminate]] with a broadcast-Bloom prefilter on the training side —
+   * the 100 TB shape. Plain `decontaminate` explodes EVERY training
+   * document's shingles into the inverted-index exchange even though almost
+   * all of a web corpus shares nothing with a benchmark suite; here a Bloom
+   * filter over the (small, by contract) benchmark shingle set rides ONE
+   * broadcast and each training document is tested ROW-LOCALLY at the scan:
+   * only documents with at least `ceil(threshold · min_b|sh_b|)` possible
+   * shingle hits proceed to the exact containment join. That bound is
+   * exactly conservative — containment ≥ θ against some benchmark doc b
+   * needs ≥ ceil(θ·|sh_b|) ≥ ceil(θ·min_b|sh_b|) shared shingles, and Bloom
+   * counts have no false negatives — so the output is IDENTICAL to
+   * [[decontaminate]]'s (false positives only send a few extra docs to the
+   * verify join, which rejects them).
+   *
+   * One caveat keeps it honest: the `maxShingleDf` stop-shingle cap inside
+   * the verify join is computed over the SURVIVOR subset, not the full
+   * corpus — a shingle ubiquitous corpus-wide but rare among survivors can
+   * participate where plain `decontaminate` would cap it. The cap is a
+   * quadratic-blowup guard, not a semantic knob; with the default 10⁴ it
+   * binds on neither path in practice (parity is asserted in DedupSpec).
+   */
+  def decontaminateBloom(left: DataFrame, right: DataFrame,
+                         leftId: String, rightId: String,
+                         leftText: String, rightText: String,
+                         shingleN: Int = 3, threshold: Double = 0.8,
+                         maxShingleDf: Int = 10000,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = left.sparkSession
+    val benchSh = right.select(
+      graft.functions.TextExpressions.word_shingles(col(rightText), shingleN,
+        distinct = true).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val minRow = benchSh.agg(min(size(col("sh")))).head()
+      if (minRow.isNullAt(0)) return left // no shingled benchmark docs
+      val minB = minRow.getInt(0)
+      val distinctSh = benchSh.select(explode(col("sh")).as("s")).distinct()
+      val bloom = distinctSh.stat.bloomFilter("s",
+        math.max(1L, distinctSh.count()), fpp)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val minHits = math.max(1, math.ceil(threshold * minB).toInt)
+      val survivors = left.where(
+        graft.functions.BloomExpressions.bloom_hits(
+          graft.functions.TextExpressions.word_shingles(col(leftText),
+            shingleN, distinct = true), bc) >= minHits)
+      val contaminated = crossNgramOverlap(survivors, right, leftId, rightId,
+        leftText, rightText, shingleN, threshold, maxShingleDf)
+        .select(col("id_l").as(leftId)).distinct()
+      left.join(contaminated, Seq(leftId), "left_anti")
+    } finally { benchSh.unpersist(blocking = false); () }
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 10000): DataFrame = {

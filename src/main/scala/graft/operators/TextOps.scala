@@ -240,6 +240,81 @@ object TextOps {
             textCol: String): org.apache.spark.sql.DataFrame =
     tfidfStaged(df, idCol, textCol).df
 
+  // ------------------------------------------------------------ LM scoring
+
+  /** Add-k-smoothed bigram language model learned from a reference corpus —
+    * the model behind [[lmScore]]'s CCNet-shaped perplexity quality filter
+    * (Wenzek et al. 2019, arXiv:1911.00359: perplexity under a small LM
+    * trained on trusted text ranks web documents for curation; CCNet uses a
+    * 5-gram KenLM — the add-k bigram here keeps every number exactly
+    * replayable by the DuckDB oracle while preserving the pipeline shape).
+    *
+    * `bigrams` holds (bg = "w1 w2", c12); `prefixes` (w1, c1 = Σ_w2 c12);
+    * `vocabSize` = |distinct train tokens|. The bigram table is PERSISTED —
+    * it feeds the prefix re-aggregate and the scoring join — with the same
+    * release contract as [[tfidfStaged]]: call [[BigramLm#release]] once the
+    * scored output is materialized.
+    *
+    * Scale shape: training is one row-local native-shingle scan feeding a
+    * (bg)-keyed aggregate (the shuffle carries token pairs, never text) plus
+    * one token-distinct scan for V; `prefixes` re-aggregates the (≪ corpus)
+    * bigram table. The model stays a pair of DataFrames, not driver state —
+    * a 10⁹-row bigram table never lands on the driver; AQE broadcasts the
+    * tables at score time when they are small. */
+  final case class BigramLm(bigrams: org.apache.spark.sql.DataFrame,
+                            prefixes: org.apache.spark.sql.DataFrame,
+                            vocabSize: Long, k: Double) {
+    def release(): Unit = { bigrams.unpersist(blocking = false); () }
+  }
+
+  def bigramLm(train: org.apache.spark.sql.DataFrame, textCol: String,
+               k: Double = 0.1): BigramLm = {
+    require(k > 0, s"add-k smoothing constant must be positive, got $k")
+    val bg = train
+      .select(explode(graft.functions.TextExpressions.word_shingles(
+        col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tokens are whitespace-free by construction, so the bigram's first
+    // token is recoverable row-locally — no second key column in the shuffle
+    val prefixes = bg
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val v = train.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok"))).head().getLong(0)
+    BigramLm(bg, prefixes, v, k)
+  }
+
+  /** Per-document cross-entropy under a [[BigramLm]] — low = fluent /
+    * in-domain, high = noise (the CCNet curation signal). Per adjacent-token
+    * bigram: logp = ln((c12 + k)/(c1 + k·V)) when the prefix w1 is in-model
+    * (c12 = 0 for an unseen continuation), else ln(1/V). Documents with < 2
+    * tokens have no bigrams and are absent from the output. Returns
+    * (idCol, n_bigrams, cross_entropy = −Σlogp/n, perplexity = e^ce).
+    * Scale shape: one row-local shingle scan, two model joins keyed on
+    * (bg)/(w1), one per-id aggregate — shuffles carry token pairs and ids,
+    * never document text. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, model: BigramLm): org.apache.spark.sql.DataFrame = {
+    require(model.vocabSize > 0, "lmScore: empty language model (vocabSize = 0)")
+    val v = model.vocabSize.toDouble
+    val pairs = docs
+      .select(col(idCol), explode(graft.functions.TextExpressions.word_shingles(
+        col(textCol), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val logp = when(col("c1").isNull, log(lit(1.0) / v))
+      .otherwise(log((coalesce(col("c12"), lit(0L)).cast("double") + model.k) /
+        (col("c1").cast("double") + model.k * v)))
+    pairs
+      .join(model.bigrams, Seq("bg"), "left")
+      .join(model.prefixes, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(logp).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (-col("__s") / col("n_bigrams")).as("cross_entropy"))
+      .withColumn("perplexity", exp(col("cross_entropy")))
+  }
+
   /**
    * Context-window chunking: split each document into consecutive
    * `chunkSize`-token chunks (last chunk may be shorter) — the doc-local

@@ -149,4 +149,32 @@ class CurationSpec extends AnyFunSuite {
     assert(distinctPerGroup.nonEmpty && distinctPerGroup.forall(_.getLong(1) == 1L),
       "every dup group must land in exactly one split")
   }
+
+  test("removeBoilerplateLines: hot lines dropped (incl. within-doc repeats), " +
+    "blanks and unique lines kept, untouched docs byte-identical") {
+    val docs = Seq(
+      (1L, "alpha body one\nSHARED FOOTER\n\nunique 1"),
+      (2L, "beta body two\nSHARED FOOTER\nunique 2"),
+      (3L, "gamma body three\nSHARED FOOTER\nSHARED FOOTER\nunique 3"),
+      (4L, "delta only unique\n\ntail line")).toDF("doc_id", "text")
+    val got = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2L)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("alpha body one\n\nunique 1", 1)))
+    assert(got(2L) == (("beta body two\nunique 2", 1)))
+    // BOTH within-doc copies of the hot line go
+    assert(got(3L) == (("gamma body three\nunique 3", 2)))
+    // no hot line → byte-identical reconstruction, blank line intact
+    assert(got(4L) == (("delta only unique\n\ntail line", 0)))
+  }
+
+  test("removeBoilerplateLines: blank lines are structural — never counted " +
+    "toward the boilerplate threshold, never removed") {
+    val docs = Seq((1L, "a\n\nx"), (2L, "b\n\ny"), (3L, "c\n\nz"))
+      .toDF("doc_id", "text")
+    val got = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2L)
+      .as[(Long, String, Int)].collect()
+    assert(got.forall(_._3 == 0))
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> "a\n\nx", 2L -> "b\n\ny", 3L -> "c\n\nz"))
+  }
 }

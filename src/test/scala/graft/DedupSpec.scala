@@ -169,6 +169,59 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == all.map(_._1).toSet -- contaminated)
   }
 
+  test("decontaminateBloom: identical output to exact decontaminate (the " +
+    "prefilter is conservative — no Bloom false negative can drop a " +
+    "contaminated doc), empty benchmark → input unchanged") {
+    val bench = nearDupes.map { case (id, t) => (id + 9000, t) }
+      .toDF("bench_id", "bench_text")
+    for (threshold <- Seq(0.5, 0.8, 1.0)) {
+      val exact = Dedup.decontaminate(docs, bench, "doc_id", "bench_id",
+        "text", "bench_text", shingleN = 3, threshold = threshold)
+        .select("doc_id").as[Long].collect().toSet
+      val bloom = Dedup.decontaminateBloom(docs, bench, "doc_id", "bench_id",
+        "text", "bench_text", shingleN = 3, threshold = threshold)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bloom == exact, s"threshold=$threshold")
+      assert(bloom.size < docs.count(), s"threshold=$threshold should drop docs")
+    }
+    // a lossy fpp only sends more docs to the verify join — output unchanged
+    val loose = Dedup.decontaminateBloom(docs, bench, "doc_id", "bench_id",
+      "text", "bench_text", shingleN = 3, threshold = 0.8, fpp = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val exact08 = Dedup.decontaminate(docs, bench, "doc_id", "bench_id",
+      "text", "bench_text", shingleN = 3, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == exact08)
+    // benchmark with no shingle-able docs (< n tokens): nothing is contaminated
+    val tiny = Seq((1L, "only two")).toDF("bench_id", "bench_text")
+    assert(Dedup.decontaminateBloom(docs, tiny, "doc_id", "bench_id",
+      "text", "bench_text", shingleN = 3).count() == docs.count())
+  }
+
+  test("bloom_hits: no false negatives on inserted members; counts per " +
+    "array element; nulls and empty arrays → 0") {
+    val members = (0 until 200).map(i => s"shingle token $i")
+    val bloom = members.toDF("s").stat.bloomFilter("s", members.size.toLong, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val got = Seq(
+      (1L, Seq("shingle token 3", "shingle token 7", "shingle token 3")),
+      (2L, Seq.empty[String]),
+      (3L, (1000 until 1040).map(i => s"absent token $i")))
+      .toDF("id", "arr")
+      .select(col("id"), graft.functions.BloomExpressions.bloom_hits(
+        col("arr"), bc).as("hits"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == 3) // members always count (incl. repeats)
+    assert(got(2L) == 0)
+    // 40 absent strings at fpp 0.01: allow a few false positives, never many
+    assert(got(3L) <= 5)
+    // every member must register — Bloom false negatives are impossible
+    val all = Seq((9L, members)).toDF("id", "arr")
+      .select(graft.functions.BloomExpressions.bloom_hits(col("arr"), bc))
+      .as[Int].head()
+    assert(all == members.size)
+  }
+
   test("connectedComponents: min-label groups over chains, cycles, and " +
     "isolated pairs; converges within diameter sweeps") {
     // components: chain 1-2-3-4-5-6 (diameter 5), triangle 10-11-12 + spur 13,

@@ -308,4 +308,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(staged.df.count() == 5)
     staged.release(); staged.release()
   }
+
+  test("bigramLm/lmScore: hand-computed add-k cross-entropy incl. unseen " +
+    "continuation and unseen prefix; single-token docs absent; release seam") {
+    val train = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = TextOps.bigramLm(train, "text", k = 0.5)
+    // bigrams: doc1 → "a b","b a","a b","b c"; doc2 → "a b"
+    assert(lm.vocabSize == 3) // {a, b, c}
+    assert(lm.bigrams.as[(String, Long)].collect().toMap ==
+      Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    assert(lm.prefixes.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 2L))
+    val k = 0.5; val v = 3.0
+    def lp(c12: Double, c1: Double) = math.log((c12 + k) / (c1 + k * v))
+    val docs = Seq((10L, "a b d"), (11L, "z q"), (12L, "a")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs, "doc_id", "text", lm)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(10L, 11L)) // "a" has no bigrams
+    // "a b" seen (c12=3, c1=3); "b d" unseen continuation of seen prefix b
+    val ce10 = -(lp(3, 3) + lp(0, 2)) / 2
+    assert(got(10L)._2 == 2 && math.abs(got(10L)._3 - ce10) < 1e-12)
+    assert(math.abs(got(10L)._4 - math.exp(ce10)) < 1e-12)
+    // "z q": unseen prefix → ln(1/V)
+    assert(got(11L)._2 == 1 &&
+      math.abs(got(11L)._3 - math.log(3.0)) < 1e-12)
+    // release seam: the persisted bigram table is freed (async)
+    assert(lm.bigrams.storageLevel.useMemory)
+    lm.release(); lm.release() // idempotent
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (lm.bigrams.storageLevel.useMemory && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(!lm.bigrams.storageLevel.useMemory, "bigram stage still cached")
+  }
 }
