@@ -649,6 +649,30 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // Corpus composition report: per-(lang, source) doc/token/char counts
+    // and share of corpus — the numbers a Pile/Dolma-style mixing decision
+    // starts from. One corpus scan (per-group stage persisted for the
+    // totals re-aggregate).
+    "q_mix_report" -> ((s, dir) => {
+      Curation.mixReport(t(s, dir, "documents"), Seq("lang", "source"), "text")
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          round(col("doc_share"), 6).as("doc_share"),
+          round(col("token_share"), 6).as("token_share"))
+        .orderBy("lang", "source")
+    }),
+
+    // Deterministic rebalance to a target source mix: N = min_g floor(n_g /
+    // p_g), k_g = floor(p_g · N), members chosen by the md5 sample key (the
+    // q_sample_per_group ordering) — the whole selection is a pure function
+    // of ids + the target map, replayed end-to-end by the oracle.
+    "q_rebalance_mix" -> ((s, dir) => {
+      Curation.rebalanceMix(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.1))
+        .withColumnRenamed("rank", "rk")
+        .orderBy("source", "rk")
+    }),
+
     // ------------------------------------------------------- deduplication
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1594,6 +1618,46 @@ object SparkEntry {
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647,
         |    doc_id) AS INT) AS rk
         |  FROM documents) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // DuckDB SUM(INTEGER-ish) widens to HUGEINT — cast back to BIGINT for
+    // the schema compare.
+    "q_mix_report" ->
+      """WITH per AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |      ELSE array_length(regexp_split_to_array(TRIM(text), '\s+')) END) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang, source
+        |), tot AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM per)
+        |SELECT lang, source, n_docs, n_tokens, n_chars,
+        |  ROUND(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share
+        |FROM per CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+
+    // Target proportions forced to DOUBLE so FLOOR sees the same IEEE
+    // product the Scala driver computed.
+    "q_rebalance_mix" ->
+      """WITH targets(source, p) AS (
+        |  VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |         ('src2', CAST(0.1 AS DOUBLE))
+        |), cnt AS (
+        |  SELECT source, COUNT(*) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+        |), nn AS (
+        |  SELECT CAST(MIN(FLOOR(COALESCE(cnt.n, 0) / targets.p)) AS BIGINT) AS n
+        |  FROM targets LEFT JOIN cnt USING (source)
+        |), ks AS (
+        |  SELECT t.source, CAST(FLOOR(t.p * nn.n) AS BIGINT) AS k
+        |  FROM targets t CROSS JOIN nn
+        |), ranked AS (
+        |  SELECT source, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647,
+        |    doc_id) AS INT) AS rk
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |)
+        |SELECT r.source, r.doc_id, r.rk
+        |FROM ranked r JOIN ks ON ks.source = r.source AND r.rk <= ks.k
+        |ORDER BY r.source, r.rk""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH all_docs AS (

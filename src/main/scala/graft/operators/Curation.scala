@@ -141,6 +141,80 @@ object Curation {
       Seq(idCol), "left_semi")
 
   /**
+   * Corpus composition (mix) report: per-group document / token / character
+   * counts and share of corpus — the numbers a data-mixing decision
+   * (Pile / Dolma-style source weighting) starts from. One corpus aggregate;
+   * the totals come from re-aggregating the (group-domain-sized) per-group
+   * table, which is persisted so the corpus is scanned once.
+   * Returns groupCols + (n_docs, n_tokens, n_chars, doc_share, token_share).
+   */
+  def mixReport(df: DataFrame, groupCols: Seq[String],
+                textCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val per = df.groupBy(g: _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"))
+    Dedup.withPersistedStage(per) { p =>
+      val tot = p.agg(sum("n_docs").as("__td"), sum("n_tokens").as("__tt"))
+      p.crossJoin(broadcast(tot))
+        .select(g ++ Seq(col("n_docs"), col("n_tokens"), col("n_chars"),
+          (col("n_docs").cast("double") / col("__td")).as("doc_share"),
+          (col("n_tokens").cast("double") / col("__tt")).as("token_share")): _*)
+    }
+  }
+
+  /**
+   * Deterministic rebalance to a TARGET MIX (Pile/Dolma-style source
+   * weighting): keep the largest total N every targeted group can supply —
+   * N = min_g floor(n_g / p_g) — then select exactly k_g = floor(p_g · N)
+   * documents per group, ordered by the same md5 sample key as
+   * [[samplePerGroup]] (a pure function of the id: membership is
+   * reproducible by any auditing engine and survives re-partitioning).
+   * Groups absent from `targets` (or with p_g = 0) are dropped; a targeted
+   * group missing from the corpus makes the mix infeasible at any size —
+   * the result is empty rather than silently off-mix.
+   *
+   * Scale shape: one per-group count aggregate whose result is collected —
+   * the group domain is mix-policy-sized (sources, languages), bounded by
+   * `targets` itself, never O(corpus) — then the bounded-heap top-k with
+   * k = max k_g and a broadcast (group → k_g) rank filter: map tasks
+   * forward ≤ max k_g ids per group before the shuffle; no Window, no
+   * document text in any exchange. Returns (groupCol, idCol, rank ≤ k_g).
+   */
+  def rebalanceMix(df: DataFrame, groupCol: String, idCol: String,
+                   targets: Map[String, Double]): DataFrame = {
+    val pos = targets.filter(_._2 > 0)
+    require(pos.nonEmpty, "rebalanceMix: no positive target proportions")
+    require(pos.values.forall(p => !p.isNaN && !p.isInfinite),
+      "rebalanceMix: non-finite target proportion")
+    require(pos.values.sum <= 1.0 + 1e-9,
+      s"rebalanceMix: target proportions sum to ${pos.values.sum} > 1")
+    val counts = df.where(col(groupCol).isin(pos.keys.toSeq: _*))
+      .groupBy(col(groupCol)).count()
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val n = pos.keys.map(g => math.floor(counts.getOrElse(g, 0L) / pos(g)))
+      .min.toLong
+    val ks = pos.map { case (g, p) => g -> math.floor(p * n).toLong }
+      .filter(_._2 > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (ks.isEmpty)
+      return Seq.empty[(String, Long, Int)].toDF(groupCol, idCol, "rank")
+        .select(col(groupCol), col(idCol).cast("long"), col("rank"))
+    val kMax = ks.values.max.toInt
+    val keyed = df.where(col(groupCol).isin(ks.keys.toSeq: _*))
+      .withColumn("__sample_key",
+        hashBucket(col(idCol), Int.MaxValue).cast("double"))
+    val kDf = broadcast(ks.toSeq.toDF(groupCol, "__k"))
+    Similarity.topKPerGroup(keyed, Seq(groupCol), "__sample_key", idCol, kMax,
+        ascending = true)
+      .join(kDf, Seq(groupCol))
+      .where(col("rank") <= col("__k"))
+      .select(col(groupCol), col(idCol), col("rank"))
+  }
+
+  /**
    * C4/RefinedWeb-style boilerplate LINE removal: delete every line whose
    * exact content recurs in ≥ `minDocs` DISTINCT documents (nav menus,
    * cookie banners, copyright footers — C4 [Raffel et al. 2020,

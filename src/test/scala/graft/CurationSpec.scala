@@ -150,6 +150,61 @@ class CurationSpec extends AnyFunSuite {
       "every dup group must land in exactly one split")
   }
 
+  test("mixReport: hand-computed counts and shares per group") {
+    val docs = Seq(
+      (1L, "a", "one two three"), (2L, "a", "four five"),
+      (3L, "b", "six"), (4L, "b", ""))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.mixReport(docs, Seq("source"), "text")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: 2 docs, 5 tokens, 22 chars; b: 2 docs, 1 token, 3 chars
+    assert(got("a") == (("a", 2L, 5L, 22L, 0.5, 5.0 / 6)))
+    assert(got("b") == (("b", 2L, 1L, 3L, 0.5, 1.0 / 6)))
+  }
+
+  test("rebalanceMix: exact per-group quotas at the largest feasible N, " +
+    "md5-ordered membership, infeasible/degenerate cases") {
+    // a: 10 docs, b: 6 docs, targets 0.5/0.3 → N = min(20, 20) = 20 →
+    // k_a = 10, k_b = 6 — both groups fully consumed at this mix
+    val docs = ((1L to 10L).map(i => (i, "a")) ++ (11L to 16L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val sel = Curation.rebalanceMix(docs, "source", "doc_id",
+      Map("a" -> 0.5, "b" -> 0.3))
+    val bySrc = sel.as[(String, Long, Int)].collect().groupBy(_._1)
+    assert(bySrc("a").length == 10 && bySrc("b").length == 6)
+    // tighter b supply limits N: b: 3 docs → N = min(20, 10) = 10 →
+    // k_a = 5, k_b = 3; the five selected a-docs are the md5-smallest
+    val docs2 = ((1L to 10L).map(i => (i, "a")) ++ (11L to 13L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val sel2 = Curation.rebalanceMix(docs2, "source", "doc_id",
+      Map("a" -> 0.5, "b" -> 0.3)).as[(String, Long, Int)].collect()
+    val a2 = sel2.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq
+    assert(a2.length == 5 && sel2.count(_._1 == "b") == 3)
+    def key(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5, 16) % Int.MaxValue
+    }
+    assert(a2 == (1L to 10L).sortBy(i => (key(i), i)).take(5),
+      "selection must follow the md5 sample-key order")
+    // untargeted groups never affect the selection (pure function of ids)
+    val withNoise = docs2.unionByName(
+      Seq((100L, "c"), (101L, "c")).toDF("doc_id", "source"))
+    assert(Curation.rebalanceMix(withNoise, "source", "doc_id",
+      Map("a" -> 0.5, "b" -> 0.3)).as[(String, Long, Int)].collect().toSet ==
+      sel2.toSet)
+    // a targeted group missing from the corpus → infeasible → empty
+    assert(Curation.rebalanceMix(docs2, "source", "doc_id",
+      Map("a" -> 0.5, "zzz" -> 0.5)).count() == 0)
+    // proportions must not exceed 1
+    intercept[IllegalArgumentException] {
+      Curation.rebalanceMix(docs2, "source", "doc_id",
+        Map("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+
   test("removeBoilerplateLines: hot lines dropped (incl. within-doc repeats), " +
     "blanks and unique lines kept, untouched docs byte-identical") {
     val docs = Seq(
