@@ -315,6 +315,38 @@ object TextOps {
       .withColumn("perplexity", exp(col("cross_entropy")))
   }
 
+  /** Collect a [[BigramLm]] into the broadcastable driver-state form the
+    * native `lm_score` expression reads — the low-latency / streaming path
+    * for models that FIT (a curation LM is pruned by construction; CCNet's
+    * own KenLMs are single-digit GB). `maxEntries` is the explicit guard
+    * against collecting a corpus-scale model onto the driver: above it,
+    * stay on the join-based [[lmScore]]. Counted BEFORE collecting. */
+  def collectLm(model: BigramLm,
+                maxEntries: Long = 20000000L): graft.functions.LmExpressions.LocalLm = {
+    val n = model.bigrams.count()
+    require(n <= maxEntries,
+      s"collectLm: bigram table has $n entries (> $maxEntries) — " +
+        "use the join-based lmScore for models this large")
+    val c12 = new java.util.HashMap[String, java.lang.Long](n.toInt * 2)
+    model.bigrams.collect().foreach { r =>
+      c12.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1)))
+    }
+    val c1 = new java.util.HashMap[String, java.lang.Long]()
+    model.prefixes.collect().foreach { r =>
+      c1.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1)))
+    }
+    graft.functions.LmExpressions.LocalLm(c12, c1, model.vocabSize, model.k)
+  }
+
+  /** Row-local cross-entropy under a broadcast [[collectLm]] model — the
+    * streaming-safe twin of [[lmScore]] (same arithmetic term-by-term;
+    * summation order may differ by ~1e-12). NULL for documents with < 2
+    * tokens (the join path simply omits them). */
+  def lmScoreBroadcast(text: Column,
+                       lm: org.apache.spark.broadcast.Broadcast[
+                         graft.functions.LmExpressions.LocalLm]): Column =
+    graft.functions.LmExpressions.lm_score(text, lm)
+
   /**
    * Context-window chunking: split each document into consecutive
    * `chunkSize`-token chunks (last chunk may be shorter) — the doc-local

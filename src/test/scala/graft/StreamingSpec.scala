@@ -227,4 +227,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.size == 3)
     assert(got.exists(_._2.containsSlice(Seq("low", "est"))))
   }
+
+  test("broadcast-LM quality scoring runs unchanged on a stream (row-local " +
+    "lm_score expression — the in-flight curation filter) and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val train = Seq((1L, "spark scales out spark scales up"),
+      (2L, "the quick brown fox")).toDF("doc_id", "text")
+    val lm = TextOps.bigramLm(train, "text")
+    val bc = spark.sparkContext.broadcast(TextOps.collectLm(lm))
+    lm.release()
+    val data = Seq((1L, "spark scales out"), (2L, "zz yy xx"), (3L, "one"))
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      TextOps.lmScoreBroadcast(col("text"), bc).as("ce"))
+    val input = MemoryStream[(Long, String)]
+    val q = score(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lm_out").start()
+    input.addData(data: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lm_out").as[(Long, Option[Double])].collect().toMap
+    val want = score(data.toDF("doc_id", "text"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == want && got.size == 3)
+    assert(got(3L).isEmpty) // single-token doc: no bigram, NULL score
+    // in-domain text scores strictly lower cross-entropy than noise
+    assert(got(1L).get < got(2L).get)
+  }
 }

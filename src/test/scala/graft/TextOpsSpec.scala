@@ -340,4 +340,29 @@ class TextOpsSpec extends AnyFunSuite {
       Thread.sleep(50)
     assert(!lm.bigrams.storageLevel.useMemory, "bigram stage still cached")
   }
+
+  test("lmScoreBroadcast: term-identical to the join-based lmScore (order-" +
+    "noise only), NULL under 2 tokens, collectLm size guard") {
+    val train = Seq((1L, "a b a b c d e f a c"), (2L, "a b c a d"))
+      .toDF("doc_id", "text")
+    val lm = TextOps.bigramLm(train, "text", k = 0.25)
+    val bc = spark.sparkContext.broadcast(TextOps.collectLm(lm))
+    val docs = Seq((10L, "a b d z q c"), (11L, "z q"), (12L, "a"), (13L, ""),
+      (14L, "c d e f a b a b"))
+      .toDF("doc_id", "text")
+    val joinPath = TextOps.lmScore(docs, "doc_id", "text", lm)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val exprPath = docs.select(col("doc_id"),
+        TextOps.lmScoreBroadcast(col("text"), bc).as("ce"))
+      .as[(Long, Option[Double])].collect().toMap
+    // same doc universe: join path omits bigram-less docs, expression NULLs them
+    assert(exprPath(12L).isEmpty && exprPath(13L).isEmpty)
+    assert(joinPath.keySet == Set(10L, 11L, 14L))
+    joinPath.foreach { case (id, ce) =>
+      assert(math.abs(exprPath(id).get - ce) < 1e-9, s"doc $id")
+    }
+    // the guard refuses to collect a model larger than maxEntries
+    intercept[IllegalArgumentException] { TextOps.collectLm(lm, maxEntries = 2L) }
+    lm.release()
+  }
 }
