@@ -327,7 +327,8 @@ object TextOps {
     require(n <= maxEntries,
       s"collectLm: bigram table has $n entries (> $maxEntries) — " +
         "use the join-based lmScore for models this large")
-    val c12 = new java.util.HashMap[String, java.lang.Long](n.toInt * 2)
+    val c12 = new java.util.HashMap[String, java.lang.Long](
+      math.min(n, (1L << 28) - 1).toInt * 2)
     model.bigrams.collect().foreach { r =>
       c12.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1)))
     }
