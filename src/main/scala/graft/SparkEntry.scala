@@ -778,6 +778,19 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Cross-document EXACT repeated spans (Lee et al. 2021 substring-dedup
+    // unit): maximal ≥4-token spans shared verbatim between documents, with
+    // 0-based token positions on both sides — the span-level signal
+    // doc-level dedup misses. The oracle replays positional shingles, the
+    // occurrence cap, the cross-doc match and the diagonal gaps-and-islands
+    // coalescing by k-gram CONTENT (Spark matches on the dual
+    // xxhash64/sha2 fingerprint — a collision or hashing bug hash-fails).
+    "q_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(docsWithDupes(s, dir, maxDocs = 300L),
+        "doc_id", "text", k = 4)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    }),
+
     // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     // recall/precision asserted against exact Jaccard in ScalaTest).
     "q_minhash_lsh" -> ((s, dir) => {
@@ -1351,6 +1364,40 @@ object SparkEntry {
         |  SELECT reach.id, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
         |)
         |SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Positional 4-gram occurrences via zipped parallel unnests (1-based
+    // slice i..i+3 = 4 tokens; emitted pos is 0-based to match posexplode),
+    // then the same cap → cross-doc match → diagonal-islands arithmetic.
+    "q_repeated_spans" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+        |  FROM documents WHERE doc_id < 20
+        |), occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, array_length(toks) - 2)) - 1 AS pos,
+        |    unnest([array_to_string(toks[i:i+3], ' ')
+        |      for i in range(1, array_length(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM all_docs)
+        |), ok AS (
+        |  SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) <= 1000
+        |), capped AS (
+        |  SELECT o.* FROM occ o JOIN ok USING (sh)
+        |), m AS (
+        |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b,
+        |         b.pos AS pos_b, a.pos - b.pos AS diag
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT id_a, id_b, diag, pos_a, pos_b,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        |  FROM m
+        |)
+        |SELECT id_a, CAST(MIN(pos_a) AS INT) AS start_a, id_b,
+        |  CAST(MIN(pos_b) AS INT) AS start_b,
+        |  CAST(COUNT(*) + 3 AS INT) AS span_tokens
+        |FROM isl GROUP BY id_a, id_b, diag, island
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
 
     "q_quality_score" ->
       """SELECT doc_id, ROUND(

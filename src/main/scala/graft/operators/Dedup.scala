@@ -474,6 +474,65 @@ object Dedup {
     } finally { benchSh.unpersist(blocking = false); () }
   }
 
+  /**
+   * Cross-document EXACT repeated spans (Lee et al. 2021, arXiv:2107.06499
+   * "Deduplicating Training Data Makes Language Models Better" — their
+   * dedup unit is a repeated ≥50-token substring, not a whole document):
+   * every MAXIMAL token span of length ≥ k shared verbatim by two documents,
+   * with its position in both. Doc-level exact/near dedup misses these
+   * (a news article quoting a boilerplate paragraph is no near-dup of the
+   * press release); span-level output lets curation cut the span, not the
+   * document.
+   *
+   * Shape — the distributed stand-in for a suffix array, anchored on
+   * positional k-grams:
+   *  1. row-local positional k-gram fingerprints (pos from `posexplode`,
+   *     dual (xxhash64, sha2-256) content key — the [[exactGroups]]
+   *     collision argument, so no string join-back pass is needed); the
+   *     shuffle carries (hashes, id, pos), never text;
+   *  2. occurrence-capped inverted index ([[capBuckets]] rationale: one
+   *     ubiquitous k-gram — a license header — must not go quadratic; a
+   *     span is lost only if EVERY k-gram inside it is capped);
+   *  3. cross-doc occurrence matches (id_a < id_b) on a shared DIAGONAL
+   *     (pos_a − pos_b): consecutive pos_a runs per (id_a, id_b, diag) are
+   *     one maximal span — classic gaps-and-islands via a Window
+   *     PARTITIONED BY the pair+diagonal (bounded partitions, never the
+   *     unpartitioned single-task trap);
+   *  4. span_tokens = run length + k − 1.
+   *
+   * Returns (id_a, start_a, id_b, start_b, span_tokens), token positions
+   * 0-based. Within-document repeats are out of scope (id_a < id_b).
+   */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, maxOccurrences: Int = 1000): DataFrame = {
+    require(k >= 2, s"repeatedSpans: k must be >= 2, got $k")
+    val occ = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.TextExpressions.word_shingles(
+          col(textCol), k)).as(Seq("pos", "sh")))
+      .select(col("id"), col("pos"),
+        xxhash64(col("sh")).as("h64"), sha2(col("sh"), 256).as("hsha"))
+    withPersistedStage(occ) { o =>
+      val capped = capBuckets(o, Seq("h64", "hsha"), maxOccurrences)
+      val a = capped.select(col("h64"), col("hsha"),
+        col("id").as("id_a"), col("pos").as("pos_a"))
+      val b = capped.select(col("h64"), col("hsha"),
+        col("id").as("id_b"), col("pos").as("pos_b"))
+      val matches = a.join(b, Seq("h64", "hsha"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
+          (col("pos_a") - col("pos_b")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a"), col("id_b"), col("diag"))
+        .orderBy(col("pos_a"))
+      matches
+        .withColumn("__island", col("pos_a") - row_number().over(w))
+        .groupBy(col("id_a"), col("id_b"), col("diag"), col("__island"))
+        .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+          (count(lit(1)) + (k - 1)).cast("int").as("span_tokens"))
+        .select("id_a", "start_a", "id_b", "start_b", "span_tokens")
+    }
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 10000): DataFrame = {

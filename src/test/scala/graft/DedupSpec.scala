@@ -222,6 +222,35 @@ class DedupSpec extends AnyFunSuite {
     assert(all == members.size)
   }
 
+  test("repeatedSpans: maximal cross-doc spans with exact positions; " +
+    "sub-spans coalesced; within-doc repeats out of scope; cap honored") {
+    val fixture = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e y"),        // shares "a b c d e" with doc 1
+      (3L, "p q r a b c d e f s"),    // shares "a b c d e f" with doc 1
+      (4L, "m m m n n n"),            // no 3-gram shared with anyone
+      (5L, "z1 z2 w w w z3 w w w"))   // within-doc repeat only
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(fixture, "doc_id", "text", k = 3)
+      .as[(Long, Int, Long, Int, Int)].collect().toSet
+    // one MAXIMAL row per pair — the three overlapping 3-gram matches of
+    // (1,2) coalesce into a single 5-token span
+    assert(got.contains((1L, 0, 2L, 2, 5)))  // "a b c d e"
+    assert(got.contains((1L, 0, 3L, 3, 6)))  // "a b c d e f"
+    assert(got.contains((2L, 2, 3L, 3, 5)))  // the transitive pair
+    assert(got.size == 3, s"expected only maximal spans, got $got")
+    assert(!got.exists(r => r._1 == 5L || r._3 == 5L),
+      "within-doc repeats must not appear")
+    // occurrence cap: a 3-gram present in every doc is suppressed, spans
+    // that depend ONLY on it vanish
+    val hot = Seq(
+      (1L, "h1 h2 h3 tail1"), (2L, "h1 h2 h3 tail2"), (3L, "h1 h2 h3 tail3"))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(hot, "doc_id", "text", k = 3,
+      maxOccurrences = 2).count() == 0)
+    assert(Dedup.repeatedSpans(hot, "doc_id", "text", k = 3).count() == 3)
+  }
+
   test("connectedComponents: min-label groups over chains, cycles, and " +
     "isolated pairs; converges within diameter sweeps") {
     // components: chain 1-2-3-4-5-6 (diameter 5), triangle 10-11-12 + spur 13,
