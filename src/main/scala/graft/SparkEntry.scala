@@ -791,6 +791,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b", "start_a", "start_b")
     }),
 
+    // Span-level dedup CUT (Lee et al. 2021 §4: keep one occurrence of each
+    // repeated span, remove the rest): ≥8-token spans found by
+    // q_repeated_spans' machinery are cut from the higher-id document via
+    // the native drop_token_ranges expression. The oracle replays span
+    // discovery AND the cut (drop-position anti-join + ordered re-join), so
+    // the keep-lowest-id policy, overlap merging and token arithmetic are
+    // all hash-checked.
+    "q_cut_spans" -> ((s, dir) => {
+      Curation.cutRepeatedSpans(docsWithDupes(s, dir, maxDocs = 300L),
+        "doc_id", "text", k = 4, minSpanTokens = 8)
+        .orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     // recall/precision asserted against exact Jaccard in ScalaTest).
     "q_minhash_lsh" -> ((s, dir) => {
@@ -1398,6 +1411,66 @@ object SparkEntry {
         |  CAST(COUNT(*) + 3 AS INT) AS span_tokens
         |FROM isl GROUP BY id_a, id_b, diag, island
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // Span discovery replayed as above (k=4, spans filtered to ≥8 tokens),
+    // then the cut itself: drop-position sets per higher-id doc, kept
+    // tokens re-joined with single spaces in position order; untouched
+    // docs pass the original text through verbatim via the CASE.
+    "q_cut_spans" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+        |  FROM documents WHERE doc_id < 20
+        |), tok AS (
+        |  SELECT doc_id, text, regexp_split_to_array(TRIM(text), '\s+') AS toks
+        |  FROM all_docs
+        |), occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, array_length(toks) - 2)) - 1 AS pos,
+        |    unnest([array_to_string(toks[i:i+3], ' ')
+        |      for i in range(1, array_length(toks) - 2)]) AS sh
+        |  FROM tok
+        |), ok AS (
+        |  SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) <= 1000
+        |), capped AS (
+        |  SELECT o.* FROM occ o JOIN ok USING (sh)
+        |), m AS (
+        |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b,
+        |         b.pos AS pos_b, a.pos - b.pos AS diag
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT id_a, id_b, diag, pos_a, pos_b,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        |  FROM m
+        |), spans AS (
+        |  SELECT id_b, MIN(pos_b) AS start_b, COUNT(*) + 3 AS span_tokens
+        |  FROM isl GROUP BY id_a, id_b, diag, island
+        |  HAVING COUNT(*) + 3 >= 8
+        |), dpos AS (
+        |  SELECT DISTINCT id_b AS doc_id,
+        |    unnest(range(start_b, start_b + span_tokens)) AS pos
+        |  FROM spans
+        |), tokpos AS (
+        |  SELECT doc_id,
+        |    unnest(toks) AS tk,
+        |    unnest(range(1, array_length(toks) + 1)) - 1 AS pos
+        |  FROM tok WHERE doc_id IN (SELECT doc_id FROM dpos)
+        |), keptagg AS (
+        |  SELECT tp.doc_id, string_agg(tp.tk, ' ' ORDER BY tp.pos) AS ct
+        |  FROM tokpos tp ANTI JOIN dpos dp
+        |    ON tp.doc_id = dp.doc_id AND tp.pos = dp.pos
+        |  GROUP BY tp.doc_id
+        |), ncut AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM dpos GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN n.n IS NULL THEN d.text ELSE COALESCE(k.ct, '') END AS clean_text,
+        |  CAST(COALESCE(n.n, 0) AS INT) AS n_cut_tokens
+        |FROM all_docs d
+        |LEFT JOIN ncut n USING (doc_id)
+        |LEFT JOIN keptagg k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       """SELECT doc_id, ROUND(

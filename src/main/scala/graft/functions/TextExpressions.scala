@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -91,6 +92,50 @@ object TextExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** Drop the tokens covered by any [start, start+len) range (token positions
+    * from the SAME trim + `\s+` tokenizer as [[shinglesEval]], so positions
+    * produced by `Dedup.repeatedSpans` line up exactly), rejoin survivors
+    * with single spaces. Ranges may overlap or repeat (the same span often
+    * matches several partner documents); out-of-bounds positions clamp. If
+    * no token falls in any range the ORIGINAL text is returned verbatim
+    * (inter-token whitespace preserved for untouched documents). */
+  def dropTokenRangesEval(text: UTF8String, ranges: ArrayData): UTF8String = {
+    val nr = ranges.numElements()
+    if (nr == 0) return text
+    val toks = text.toString.trim match {
+      case "" => Array.empty[String]
+      case t => t.split("\\s+")
+    }
+    if (toks.length == 0) return text
+    val drop = new Array[Boolean](toks.length)
+    var anyDropped = false
+    var r = 0
+    while (r < nr) {
+      val row = ranges.getStruct(r, 2)
+      val rawStart = row.getInt(0)
+      val start = math.max(0, rawStart)
+      val end = math.min(toks.length.toLong,
+        rawStart.toLong + math.max(0, row.getInt(1))).toInt
+      var p = start
+      while (p < end) {
+        if (!drop(p)) { drop(p) = true; anyDropped = true }
+        p += 1
+      }
+      r += 1
+    }
+    if (!anyDropped) return text
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      if (!drop(i)) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks(i))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   // --- expressions ------------------------------------------------------------
 
   case class SimHash64(child: Expression) extends UnaryExpression {
@@ -142,6 +187,26 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** text × array<struct<start:int,len:int>> → text with ranged tokens cut.
+    * Null text or null ranges → null (callers coalesce to the original
+    * column for the no-cuts side of a left join). */
+  case class DropTokenRanges(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "drop_token_ranges"
+    override def nullSafeEval(text: Any, ranges: Any): Any =
+      TextExpressions.dropTokenRangesEval(
+        text.asInstanceOf[UTF8String], ranges.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (t, rs) =>
+        s"${ev.value} = $cls.dropTokenRangesEval($t, $rs);")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DropTokenRanges =
+      copy(left = newLeft, right = newRight)
+  }
+
   // --- Column API --------------------------------------------------------------
 
   def simhash64(tokens: Column): Column =
@@ -150,4 +215,7 @@ object TextExpressions {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), numHashes))
   def word_shingles(text: Column, n: Int, distinct: Boolean = false): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n, distinct))
+  def drop_token_ranges(text: Column, ranges: Column): Column =
+    GraftBridge.column(DropTokenRanges(
+      GraftBridge.expression(text), GraftBridge.expression(ranges)))
 }

@@ -262,4 +262,56 @@ object Curation {
             (_, i) => !array_contains(col("__drop"), i)), "\n")).as("clean_text"),
         coalesce(size(col("__drop")), lit(0)).cast("int").as("n_dropped_lines"))
   }
+
+  /**
+   * Cut cross-document repeated spans, keeping ONE occurrence corpus-wide
+   * (Lee et al. 2021, arXiv:2107.06499 §4: remove every repeat of a span,
+   * leaving a single copy — span-level dedup, the complement of the
+   * doc-level operators). Span discovery is [[Dedup.repeatedSpans]]
+   * (positional k-grams → capped inverted index → diagonal islands); the
+   * keep-one policy is deterministic and partitioning-independent: the
+   * occurrence in the LOWEST doc id survives, every other occurrence is
+   * cut. Since `repeatedSpans` emits (id_a < id_b), that is exactly "cut
+   * the id_b side of every span row" — a doc's occurrence survives iff no
+   * lower-id doc carries the same span.
+   *
+   * Scale shape: spans are ids+ints only (never text) through the whole
+   * plan; per-doc cut ranges aggregate to one array<struct<int,int>> row
+   * (bounded by the span count a doc participates in, itself bounded by
+   * the `maxOccurrences` cap upstream); reconstruction is ONE left join of
+   * that ids-sized side onto the corpus plus a row-local compiled
+   * expression ([[graft.functions.TextExpressions.DropTokenRanges]]).
+   * Overlapping ranges (the same boilerplate matched in many partner docs)
+   * merge inside the expression, so double-counting is impossible.
+   *
+   * Returns every input row as (idCol, clean_text, n_cut_tokens) where
+   * n_cut_tokens counts tokens actually removed (post-merge). Untouched
+   * docs pass their text through verbatim. `minSpanTokens` (default: the
+   * k-gram width, i.e. every detected span) raises the Lee-style cut
+   * threshold — e.g. k=13 fingerprints with minSpanTokens=50.
+   */
+  def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, minSpanTokens: Int = 0,
+                       maxOccurrences: Int = 1000): DataFrame = {
+    val spans = Dedup.repeatedSpans(df, idCol, textCol, k, maxOccurrences)
+      .where(col("span_tokens") >= math.max(k, minSpanTokens))
+    val cuts = spans
+      .select(col("id_b").as(idCol),
+        struct(col("start_b").cast("int").as("start"),
+          col("span_tokens").cast("int").as("len")).as("__r"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__r"))).as("__ranges"))
+    val tokCount = (t: Column) =>
+      when(length(trim(t)) === 0, lit(0))
+        .otherwise(size(split(trim(t), "\\s+")))
+    df.join(cuts, Seq(idCol), "left")
+      .select(col(idCol), col(textCol).as("__orig"),
+        coalesce(
+          graft.functions.TextExpressions.drop_token_ranges(
+            col(textCol), col("__ranges")),
+          col(textCol)).as("clean_text"))
+      .select(col(idCol), col("clean_text"),
+        (tokCount(col("__orig")) - tokCount(col("clean_text")))
+          .cast("int").as("n_cut_tokens"))
+  }
 }

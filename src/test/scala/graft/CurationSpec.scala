@@ -222,6 +222,55 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == (("delta only unique\n\ntail line", 0)))
   }
 
+  test("drop_token_ranges: overlap merge, out-of-bounds clamp, empty ranges " +
+    "and untouched text pass through verbatim") {
+    import graft.functions.TextExpressions.drop_token_ranges
+    def run(text: String, ranges: Seq[(Int, Int)]): String =
+      Seq((text, ranges)).toDF("t", "r")
+        .select(drop_token_ranges(col("t"),
+          transform(col("r"), x =>
+            struct(x("_1").as("start"), x("_2").as("len")))).as("o"))
+        .as[String].head()
+    // overlapping + duplicate ranges merge — tokens 1..4 go once
+    assert(run("t0 t1 t2 t3 t4 t5", Seq((1, 3), (2, 3), (1, 3))) == "t0 t5")
+    // clamp: negative start and len past the end
+    assert(run("t0 t1 t2", Seq((-2, 3), (2, 99))) == "t1")
+    // full cut → empty string
+    assert(run("t0 t1", Seq((0, 2))) == "")
+    // empty range list / zero-len range → ORIGINAL text, whitespace intact
+    assert(run("t0  t1\tt2", Seq.empty) == "t0  t1\tt2")
+    assert(run("t0  t1", Seq((1, 0))) == "t0  t1")
+  }
+
+  test("cutRepeatedSpans: keep-lowest-id policy, overlapping partner spans " +
+    "merge, untouched docs verbatim, minSpanTokens raises the bar") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e y"),         // shares "a b c d e" with doc 1
+      (3L, "p q r a b c d e f s"),     // shares 6 tokens w/ 1, 5 w/ 2 — overlap
+      (4L, "m  m   m n n n"),          // nothing shared: verbatim incl. spaces
+      (5L, "z1 z2 w w w z3 w w w"))    // within-doc repeat only: out of scope
+      .toDF("doc_id", "text")
+    val got = Curation.cutRepeatedSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("a b c d e f g h", 0)))   // lowest id keeps the span
+    assert(got(2L) == (("x x y", 5)))
+    assert(got(3L) == (("p q r s", 6)))           // [3,9)∪[3,8) merged
+    assert(got(4L) == (("m  m   m n n n", 0)))
+    assert(got(5L) == (("z1 z2 w w w z3 w w w", 0)))
+    // threshold: only the 6-token (1,3) span clears minSpanTokens=6
+    val thr = Curation.cutRepeatedSpans(docs, "doc_id", "text", k = 3,
+        minSpanTokens = 6)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(thr(2L) == (("x x a b c d e y", 0)))
+    assert(thr(3L) == (("p q r s", 6)))
+    // identical docs: the higher id is cut to empty
+    val twins = Seq((1L, "q1 q2 q3"), (2L, "q1 q2 q3")).toDF("doc_id", "text")
+    val tw = Curation.cutRepeatedSpans(twins, "doc_id", "text", k = 3)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(tw(1L) == (("q1 q2 q3", 0)) && tw(2L) == (("", 3)))
+  }
+
   test("removeBoilerplateLines: blank lines are structural — never counted " +
     "toward the boilerplate threshold, never removed") {
     val docs = Seq((1L, "a\n\nx"), (2L, "b\n\ny"), (3L, "c\n\nz"))
