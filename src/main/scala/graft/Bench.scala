@@ -39,7 +39,8 @@ object Bench {
     "q_chunk_tokens", "q_vocabulary", "q_tfidf", "q_split_by_group",
     "q_bpe_tokenize", "q_pack_sequences", "q_embed_semantic_neardup",
     "q_lm_perplexity", "q_remove_boilerplate", "q_decontaminate_bloom",
-    "q_mix_report", "q_rebalance_mix", "q_repeated_spans", "q_cut_spans")
+    "q_mix_report", "q_rebalance_mix", "q_repeated_spans", "q_cut_spans",
+    "q_within_doc_spans", "q_cut_spans_within")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -36,6 +36,22 @@ object SparkEntry {
     docs.select("doc_id", "text").unionByName(dupes)
   }
 
+  /** Documents with deterministic INTERNAL repeats (every 7th doc's text is
+    * self-concatenated) plus a few padded cross-doc clones — the fixture for
+    * the within-document span operators. The clones of %7 docs carry internal
+    * repeats of their own, so cross-doc and within-doc cut ranges overlap and
+    * the range merge is exercised end-to-end. */
+  private def docsWithSelfRepeats(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").where(col("doc_id") < 200)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    base.unionByName(base.where(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("pad1 pad2 "), col("text")).as("text")))
+  }
+
   private def embWithDupes(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     emb.select("vec_id", "embedding").unionByName(
@@ -804,6 +820,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WITHIN-document exact repeated spans (the cross-doc operator's
+    // complement — a scraped page repeating its own nav block): maximal
+    // ≥4-token spans a document shares with ITSELF, one row per maximal
+    // (earlier, later) occurrence pair. Same positional-fingerprint
+    // machinery, self-matched per (id, diagonal).
+    "q_within_doc_spans" -> ((s, dir) => {
+      Dedup.withinDocRepeatedSpans(docsWithSelfRepeats(s, dir),
+        "doc_id", "text", k = 4)
+        .orderBy("id", "start_a", "start_b")
+    }),
+
+    // Combined span cut: cross-doc spans cut from the higher-id doc AND
+    // each doc's own later internal occurrences cut (first copy kept) in
+    // one pass — overlapping ranges from the two sources merge inside
+    // drop_token_ranges. The oracle replays both discoveries and the cut.
+    "q_cut_spans_within" -> ((s, dir) => {
+      Curation.cutRepeatedSpans(docsWithSelfRepeats(s, dir),
+        "doc_id", "text", k = 4, minSpanTokens = 8, withinDoc = true)
+        .orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     // recall/precision asserted against exact Jaccard in ScalaTest).
     "q_minhash_lsh" -> ((s, dir) => {
@@ -1449,6 +1486,121 @@ object SparkEntry {
         |  HAVING COUNT(*) + 3 >= 8
         |), dpos AS (
         |  SELECT DISTINCT id_b AS doc_id,
+        |    unnest(range(start_b, start_b + span_tokens)) AS pos
+        |  FROM spans
+        |), tokpos AS (
+        |  SELECT doc_id,
+        |    unnest(toks) AS tk,
+        |    unnest(range(1, array_length(toks) + 1)) - 1 AS pos
+        |  FROM tok WHERE doc_id IN (SELECT doc_id FROM dpos)
+        |), keptagg AS (
+        |  SELECT tp.doc_id, string_agg(tp.tk, ' ' ORDER BY tp.pos) AS ct
+        |  FROM tokpos tp ANTI JOIN dpos dp
+        |    ON tp.doc_id = dp.doc_id AND tp.pos = dp.pos
+        |  GROUP BY tp.doc_id
+        |), ncut AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM dpos GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN n.n IS NULL THEN d.text ELSE COALESCE(k.ct, '') END AS clean_text,
+        |  CAST(COALESCE(n.n, 0) AS INT) AS n_cut_tokens
+        |FROM all_docs d
+        |LEFT JOIN ncut n USING (doc_id)
+        |LEFT JOIN keptagg k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Within-doc spans: the same positional-shingle replay, self-joined on
+    // doc_id with pos_a < pos_b; islands coalesce per (id, diagonal).
+    "q_within_doc_spans" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'pad1 pad2 ' || CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id < 10
+        |), occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, array_length(toks) - 2)) - 1 AS pos,
+        |    unnest([array_to_string(toks[i:i+3], ' ')
+        |      for i in range(1, array_length(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM all_docs)
+        |), ok AS (
+        |  SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) <= 1000
+        |), capped AS (
+        |  SELECT o.* FROM occ o JOIN ok USING (sh)
+        |), m AS (
+        |  SELECT a.doc_id AS id, a.pos AS pos_a, b.pos AS pos_b,
+        |         b.pos - a.pos AS diag
+        |  FROM capped a JOIN capped b
+        |    ON a.sh = b.sh AND a.doc_id = b.doc_id AND a.pos < b.pos
+        |), isl AS (
+        |  SELECT id, diag, pos_a, pos_b,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id, diag ORDER BY pos_a) AS island
+        |  FROM m
+        |)
+        |SELECT id, CAST(MIN(pos_a) AS INT) AS start_a,
+        |  CAST(MIN(pos_b) AS INT) AS start_b,
+        |  CAST(COUNT(*) + 3 AS INT) AS span_tokens
+        |FROM isl GROUP BY id, diag, island
+        |ORDER BY id, start_a, start_b""".stripMargin,
+
+    // Combined cut: cross-doc spans (cut from the higher id) UNION ALL
+    // within-doc spans (later occurrence cut), both ≥8 tokens, then the
+    // same drop-position anti-join + ordered re-join as q_cut_spans —
+    // overlap merging across the two span sources is DISTINCT on position.
+    "q_cut_spans_within" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'pad1 pad2 ' || CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id < 10
+        |), tok AS (
+        |  SELECT doc_id, text, regexp_split_to_array(TRIM(text), '\s+') AS toks
+        |  FROM all_docs
+        |), occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, array_length(toks) - 2)) - 1 AS pos,
+        |    unnest([array_to_string(toks[i:i+3], ' ')
+        |      for i in range(1, array_length(toks) - 2)]) AS sh
+        |  FROM tok
+        |), ok AS (
+        |  SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) <= 1000
+        |), capped AS (
+        |  SELECT o.* FROM occ o JOIN ok USING (sh)
+        |), mc AS (
+        |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b,
+        |         b.pos AS pos_b, a.pos - b.pos AS diag
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |), islc AS (
+        |  SELECT id_a, id_b, diag, pos_b,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        |  FROM mc
+        |), cspans AS (
+        |  SELECT id_b AS doc_id, MIN(pos_b) AS start_b, COUNT(*) + 3 AS span_tokens
+        |  FROM islc GROUP BY id_a, id_b, diag, island
+        |  HAVING COUNT(*) + 3 >= 8
+        |), mw AS (
+        |  SELECT a.doc_id AS id, a.pos AS pos_a, b.pos AS pos_b,
+        |         b.pos - a.pos AS diag
+        |  FROM capped a JOIN capped b
+        |    ON a.sh = b.sh AND a.doc_id = b.doc_id AND a.pos < b.pos
+        |), islw AS (
+        |  SELECT id, diag, pos_b,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id, diag ORDER BY pos_a) AS island
+        |  FROM mw
+        |), wspans AS (
+        |  SELECT id AS doc_id, MIN(pos_b) AS start_b, COUNT(*) + 3 AS span_tokens
+        |  FROM islw GROUP BY id, diag, island
+        |  HAVING COUNT(*) + 3 >= 8
+        |), spans AS (
+        |  SELECT * FROM cspans UNION ALL SELECT * FROM wspans
+        |), dpos AS (
+        |  SELECT DISTINCT doc_id,
         |    unnest(range(start_b, start_b + span_tokens)) AS pos
         |  FROM spans
         |), tokpos AS (

@@ -289,14 +289,31 @@ object Curation {
    * docs pass their text through verbatim. `minSpanTokens` (default: the
    * k-gram width, i.e. every detected span) raises the Lee-style cut
    * threshold — e.g. k=13 fingerprints with minSpanTokens=50.
+   *
+   * `withinDoc = true` additionally cuts a document's OWN internal repeats
+   * ([[Dedup.withinDocRepeatedSpans]]): for every maximal (earlier, later)
+   * occurrence pair the LATER occurrence is cut, so exactly the first copy
+   * survives (overlap-period repeats collapse inside the range merge). The
+   * two discovery passes each scan the corpus once — at Lee-et-al scale
+   * that is the documented cost of the combined cut, not a join blow-up
+   * (both shuffle fingerprints/ids only, never text).
    */
   def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                        k: Int, minSpanTokens: Int = 0,
-                       maxOccurrences: Int = 1000): DataFrame = {
-    val spans = Dedup.repeatedSpans(df, idCol, textCol, k, maxOccurrences)
-      .where(col("span_tokens") >= math.max(k, minSpanTokens))
+                       maxOccurrences: Int = 1000,
+                       withinDoc: Boolean = false): DataFrame = {
+    val minLen = math.max(k, minSpanTokens)
+    val cross = Dedup.repeatedSpans(df, idCol, textCol, k, maxOccurrences)
+      .where(col("span_tokens") >= minLen)
+      .select(col("id_b").as(idCol), col("start_b"), col("span_tokens"))
+    val spans =
+      if (!withinDoc) cross
+      else cross.unionByName(
+        Dedup.withinDocRepeatedSpans(df, idCol, textCol, k, maxOccurrences)
+          .where(col("span_tokens") >= minLen)
+          .select(col("id").as(idCol), col("start_b"), col("span_tokens")))
     val cuts = spans
-      .select(col("id_b").as(idCol),
+      .select(col(idCol),
         struct(col("start_b").cast("int").as("start"),
           col("span_tokens").cast("int").as("len")).as("__r"))
       .groupBy(col(idCol))

@@ -503,14 +503,22 @@ object Dedup {
    * Returns (id_a, start_a, id_b, start_b, span_tokens), token positions
    * 0-based. Within-document repeats are out of scope (id_a < id_b).
    */
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    k: Int, maxOccurrences: Int = 1000): DataFrame = {
+  /** Positional k-gram occurrence stage shared by the span operators:
+    * (id, pos, dual content fingerprint) — the shuffle payload never
+    * includes text. */
+  private def positionalKgrams(df: DataFrame, idCol: String, textCol: String,
+                               k: Int): DataFrame = {
     require(k >= 2, s"repeatedSpans: k must be >= 2, got $k")
-    val occ = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         posexplode(graft.functions.TextExpressions.word_shingles(
           col(textCol), k)).as(Seq("pos", "sh")))
       .select(col("id"), col("pos"),
         xxhash64(col("sh")).as("h64"), sha2(col("sh"), 256).as("hsha"))
+  }
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, maxOccurrences: Int = 1000): DataFrame = {
+    val occ = positionalKgrams(df, idCol, textCol, k)
     withPersistedStage(occ) { o =>
       val capped = capBuckets(o, Seq("h64", "hsha"), maxOccurrences)
       val a = capped.select(col("h64"), col("hsha"),
@@ -530,6 +538,48 @@ object Dedup {
         .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
           (count(lit(1)) + (k - 1)).cast("int").as("span_tokens"))
         .select("id_a", "start_a", "id_b", "start_b", "span_tokens")
+    }
+  }
+
+  /**
+   * WITHIN-document exact repeated spans — [[repeatedSpans]]' complement
+   * (that operator is cross-doc only, id_a < id_b; Lee et al. 2021's
+   * substring dedup also removes a document's own internal repeats — a
+   * scraped page whose nav block appears three times). Same machinery on
+   * the same positional k-gram stage, self-matched WITHIN the document:
+   * match pairs (pos_a < pos_b) on a shared diagonal (pos_b − pos_a > 0),
+   * consecutive pos_a runs per (id, diag) coalesce into one maximal span
+   * pair. The islands Window partitions by (id, diag) — bounded, never
+   * global. Self-overlapping repeats (period < k, e.g. "a a a a a") emit
+   * one span per period diagonal — the cut operator's range merge
+   * collapses them, leaving exactly one copy.
+   *
+   * Returns (id, start_a, start_b, span_tokens) with start_a < start_b,
+   * 0-based token positions, one row per maximal (earlier, later)
+   * occurrence pair.
+   */
+  def withinDocRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, maxOccurrences: Int = 1000): DataFrame = {
+    val occ = positionalKgrams(df, idCol, textCol, k)
+    withPersistedStage(occ) { o =>
+      val capped = capBuckets(o, Seq("h64", "hsha"), maxOccurrences)
+      val a = capped.select(col("h64"), col("hsha"),
+        col("id"), col("pos").as("pos_a"))
+      val b = capped.select(col("h64"), col("hsha"),
+        col("id"), col("pos").as("pos_b"))
+      val matches = a.join(b, Seq("h64", "hsha", "id"))
+        .where(col("pos_a") < col("pos_b"))
+        .select(col("id"), col("pos_a"), col("pos_b"),
+          (col("pos_b") - col("pos_a")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"), col("diag"))
+        .orderBy(col("pos_a"))
+      matches
+        .withColumn("__island", col("pos_a") - row_number().over(w))
+        .groupBy(col("id"), col("diag"), col("__island"))
+        .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+          (count(lit(1)) + (k - 1)).cast("int").as("span_tokens"))
+        .select("id", "start_a", "start_b", "span_tokens")
     }
   }
 

@@ -271,6 +271,33 @@ class CurationSpec extends AnyFunSuite {
     assert(tw(1L) == (("q1 q2 q3", 0)) && tw(2L) == (("", 3)))
   }
 
+  test("cutRepeatedSpans withinDoc: later internal occurrences cut, first " +
+    "kept; overlap-period repeats collapse to one copy; cross-doc and " +
+    "within-doc ranges merge") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e y"),          // cross-doc cut vs doc 1
+      (5L, "z1 z2 w w w z3 w w w"),     // internal repeat of "w w w"
+      (6L, "a a a a a"),                // period-1: exactly one token survives
+      (7L, "s t u v X s t u v"),        // 4-token block repeated
+      (9L, "a b c d e a b c d e"))      // cross-doc (vs 1) AND internal repeat
+      .toDF("doc_id", "text")
+    val got = Curation.cutRepeatedSpans(docs, "doc_id", "text", k = 3,
+        withinDoc = true)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("a b c d e f g h", 0)))
+    assert(got(2L) == (("x x y", 5)))
+    assert(got(5L) == (("z1 z2 w w w z3", 3)))
+    assert(got(6L) == (("a", 4)))
+    assert(got(7L) == (("s t u v X", 4)))
+    assert(got(9L) == (("", 10)))       // both occurrences match doc 1
+    // default withinDoc=false leaves internal repeats alone (cross-doc only)
+    val off = Curation.cutRepeatedSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(off(5L) == (("z1 z2 w w w z3 w w w", 0)))
+    assert(off(6L) == (("a a a a a", 0)))
+  }
+
   test("removeBoilerplateLines: blank lines are structural — never counted " +
     "toward the boilerplate threshold, never removed") {
     val docs = Seq((1L, "a\n\nx"), (2L, "b\n\ny"), (3L, "c\n\nz"))

@@ -251,6 +251,35 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.repeatedSpans(hot, "doc_id", "text", k = 3).count() == 3)
   }
 
+  test("withinDocRepeatedSpans: maximal internal spans with exact positions; " +
+    "period overlaps emit per-diagonal rows; cross-doc matches out of scope; " +
+    "cap honored") {
+    val fixture = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e y"),          // cross-doc share with 1 — out of scope
+      (5L, "z1 z2 w w w z3 w w w"),     // "w w w" repeats at pos 2 and 6
+      (6L, "a a a a a"),                // self-overlapping period-1 repeat
+      (7L, "p q p q p q"),              // period-2 repeat
+      (8L, "s t u v X s t u v"))        // 4-token block repeats at 0 and 5
+      .toDF("doc_id", "text")
+    val got = Dedup.withinDocRepeatedSpans(fixture, "doc_id", "text", k = 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set(
+      (5L, 2, 6, 3),   // one maximal "w w w" pair
+      (6L, 0, 1, 4),   // diag 1: k-grams at 0,1 coalesce
+      (6L, 0, 2, 3),   // diag 2
+      (7L, 0, 2, 4),   // "p q p q" vs itself shifted by the period
+      (8L, 0, 5, 4)),  // maximal "s t u v", not three separate 3-grams
+      s"got $got")
+    // occurrence cap: a 3-gram repeated 3x within one doc is suppressed at
+    // maxOccurrences=2, present at the default
+    val hot = Seq((1L, "c c c c c")).toDF("doc_id", "text")
+    assert(Dedup.withinDocRepeatedSpans(hot, "doc_id", "text", k = 3,
+      maxOccurrences = 2).count() == 0)
+    assert(Dedup.withinDocRepeatedSpans(hot, "doc_id", "text", k = 3)
+      .count() > 0)
+  }
+
   test("connectedComponents: min-label groups over chains, cycles, and " +
     "isolated pairs; converges within diameter sweeps") {
     // components: chain 1-2-3-4-5-6 (diameter 5), triangle 10-11-12 + spur 13,
