@@ -403,7 +403,10 @@ object Bench {
       if (Files.exists(recordPath)) {
         val text = new String(Files.readAllBytes(recordPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        """"value":([0-9.]+)""".r.findFirstMatchIn(text)
+        // anchor on the specific throughput field, not the first "value"
+        // occurrence — a reordered JSON line or a query literally named
+        // "value" must not silently compare against the wrong number
+        """"pipeline_full_vec_per_sec":([0-9.]+)""".r.findFirstMatchIn(text)
           .map(_.group(1).toDouble).getOrElse(0.0)
       } else 0.0
     if (vecPerSec > prevBest) {

@@ -200,8 +200,10 @@ object Curation {
     val spark = df.sparkSession
     import spark.implicits._
     if (ks.isEmpty)
-      return Seq.empty[(String, Long, Int)].toDF(groupCol, idCol, "rank")
-        .select(col(groupCol), col(idCol).cast("long"), col("rank"))
+      // derive the empty result from df itself so the schema (group/id
+      // column TYPES) is identical to the populated path's for any idCol
+      return df.select(col(groupCol), col(idCol))
+        .withColumn("rank", lit(1).cast("int")).limit(0)
     val kMax = ks.values.max.toInt
     val keyed = df.where(col(groupCol).isin(ks.keys.toSeq: _*))
       .withColumn("__sample_key",
@@ -291,27 +293,23 @@ object Curation {
    * threshold — e.g. k=13 fingerprints with minSpanTokens=50.
    *
    * `withinDoc = true` additionally cuts a document's OWN internal repeats
-   * ([[Dedup.withinDocRepeatedSpans]]): for every maximal (earlier, later)
-   * occurrence pair the LATER occurrence is cut, so exactly the first copy
-   * survives (overlap-period repeats collapse inside the range merge). The
-   * two discovery passes each scan the corpus once — at Lee-et-al scale
-   * that is the documented cost of the combined cut, not a join blow-up
-   * (both shuffle fingerprints/ids only, never text).
+   * ([[Dedup.withinDocRepeatedSpans]]'s semantics): for every maximal
+   * (earlier, later) occurrence pair the LATER occurrence is cut, so
+   * exactly the first copy survives (overlap-period repeats collapse
+   * inside the range merge). Both discoveries come from ONE persisted
+   * positional k-gram stage and ONE pair join
+   * ([[Dedup.repeatedSpanCutSides]]) — the corpus is shingled once however
+   * many span families are being cut, and the shuffles carry
+   * fingerprints/ids only, never text.
    */
   def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                        k: Int, minSpanTokens: Int = 0,
                        maxOccurrences: Int = 1000,
                        withinDoc: Boolean = false): DataFrame = {
     val minLen = math.max(k, minSpanTokens)
-    val cross = Dedup.repeatedSpans(df, idCol, textCol, k, maxOccurrences)
+    val spans = Dedup.repeatedSpanCutSides(df, idCol, textCol, k,
+        maxOccurrences, withinDoc)
       .where(col("span_tokens") >= minLen)
-      .select(col("id_b").as(idCol), col("start_b"), col("span_tokens"))
-    val spans =
-      if (!withinDoc) cross
-      else cross.unionByName(
-        Dedup.withinDocRepeatedSpans(df, idCol, textCol, k, maxOccurrences)
-          .where(col("span_tokens") >= minLen)
-          .select(col("id").as(idCol), col("start_b"), col("span_tokens")))
     val cuts = spans
       .select(col(idCol),
         struct(col("start_b").cast("int").as("start"),

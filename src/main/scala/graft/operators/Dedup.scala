@@ -53,7 +53,7 @@ object Dedup {
   private[graft] def withPersistedStages(stages: Seq[DataFrame])
                                         (build: Seq[DataFrame] => DataFrame): DataFrame = {
     val cached = stages.map(_.persist(StorageLevel.MEMORY_AND_DISK))
-    if (explainInterior) build(cached)
+    if (explainInterior.value) build(cached)
     else
       try build(cached).localCheckpoint(true)
       finally { cached.foreach(_.unpersist(blocking = false)); () }
@@ -63,8 +63,11 @@ object Dedup {
     * INTERIOR plan (InMemoryTableScan stages, cap guards, pair joins)
     * instead of an opaque `Scan ExistingRDD`. Execution semantics are WRONG
     * in this mode — stages stay persisted and the unpersist/checkpoint
-    * lifecycle never runs — so it must never be set outside plan dumping. */
-  @volatile private[graft] var explainInterior: Boolean = false
+    * lifecycle never runs — so it is scoped to the dumping THREAD (a
+    * DynamicVariable, not a process-global flag): operators built
+    * concurrently on other threads keep real persist/checkpoint semantics. */
+  private[graft] val explainInterior: scala.util.DynamicVariable[Boolean] =
+    new scala.util.DynamicVariable[Boolean](false)
 
   /** Exact dedup groups: content key → representative id + duplicate count.
     *
@@ -516,6 +519,22 @@ object Dedup {
         xxhash64(col("sh")).as("h64"), sha2(col("sh"), 256).as("hsha"))
   }
 
+  /** Maximal-span coalescing shared by the span operators: occurrence-match
+    * rows (id_a, pos_a, id_b, pos_b, diag) → one row per maximal run of
+    * consecutive pos_a per (id_a, id_b, diag) — classic gaps-and-islands via
+    * a Window PARTITIONED BY the pair+diagonal (bounded partitions, never
+    * the unpartitioned single-task trap). `span_tokens` = run length+k−1. */
+  private def spanIslands(matches: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("__island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("__island"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + (k - 1)).cast("int").as("span_tokens"))
+  }
+
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int, maxOccurrences: Int = 1000): DataFrame = {
     val occ = positionalKgrams(df, idCol, textCol, k)
@@ -529,15 +548,49 @@ object Dedup {
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
           (col("pos_a") - col("pos_b")).as("diag"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id_a"), col("id_b"), col("diag"))
-        .orderBy(col("pos_a"))
-      matches
-        .withColumn("__island", col("pos_a") - row_number().over(w))
-        .groupBy(col("id_a"), col("id_b"), col("diag"), col("__island"))
-        .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
-          (count(lit(1)) + (k - 1)).cast("int").as("span_tokens"))
+      spanIslands(matches, k)
         .select("id_a", "start_a", "id_b", "start_b", "span_tokens")
+    }
+  }
+
+  /**
+   * Combined cut-side span discovery over ONE persisted positional k-gram
+   * stage — [[graft.operators.Curation.cutRepeatedSpans]]'s engine. The
+   * keep-one policy only ever needs the occurrence to CUT: the higher-id
+   * side of every cross-document span, plus (when `withinDoc`) the LATER
+   * occurrence of every within-document repeat. Both fall out of a single
+   * pair join over the same capped occurrence index with the predicate
+   * `id_a < id_b OR (id_a = id_b AND pos_a < pos_b)` and a single islands
+   * Window: cross matches (id_a < id_b) and self matches (id_a = id_b)
+   * land in disjoint (id_a, id_b, diag) partitions, so each partition's
+   * maximal runs are identical to what [[repeatedSpans]] /
+   * [[withinDocRepeatedSpans]] emit separately — the former two-operator
+   * shape (two persisted fingerprint stages, two corpus shingle scans, two
+   * pair joins; the round-5 plan audit's flagged duplication) shares
+   * everything here.
+   *
+   * Returns (idCol, start_b, span_tokens): one row per occurrence to cut.
+   */
+  private[graft] def repeatedSpanCutSides(df: DataFrame, idCol: String,
+      textCol: String, k: Int, maxOccurrences: Int,
+      withinDoc: Boolean): DataFrame = {
+    val occ = positionalKgrams(df, idCol, textCol, k)
+    withPersistedStage(occ) { o =>
+      val capped = capBuckets(o, Seq("h64", "hsha"), maxOccurrences)
+      val a = capped.select(col("h64"), col("hsha"),
+        col("id").as("id_a"), col("pos").as("pos_a"))
+      val b = capped.select(col("h64"), col("hsha"),
+        col("id").as("id_b"), col("pos").as("pos_b"))
+      val cond =
+        if (withinDoc)
+          col("id_a") < col("id_b") ||
+            (col("id_a") === col("id_b") && col("pos_a") < col("pos_b"))
+        else col("id_a") < col("id_b")
+      val matches = a.join(b, Seq("h64", "hsha")).where(cond)
+        .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
+          (col("pos_a") - col("pos_b")).as("diag"))
+      spanIslands(matches, k)
+        .select(col("id_b").as(idCol), col("start_b"), col("span_tokens"))
     }
   }
 
@@ -567,19 +620,17 @@ object Dedup {
         col("id"), col("pos").as("pos_a"))
       val b = capped.select(col("h64"), col("hsha"),
         col("id"), col("pos").as("pos_b"))
+      // the join key INCLUDES id — matches never leave the document, and the
+      // islands partitions (id_a = id_b = id, diag) are bounded by one
+      // document's repeat count, never corpus-scale
       val matches = a.join(b, Seq("h64", "hsha", "id"))
         .where(col("pos_a") < col("pos_b"))
-        .select(col("id"), col("pos_a"), col("pos_b"),
-          (col("pos_b") - col("pos_a")).as("diag"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id"), col("diag"))
-        .orderBy(col("pos_a"))
-      matches
-        .withColumn("__island", col("pos_a") - row_number().over(w))
-        .groupBy(col("id"), col("diag"), col("__island"))
-        .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
-          (count(lit(1)) + (k - 1)).cast("int").as("span_tokens"))
-        .select("id", "start_a", "start_b", "span_tokens")
+        .select(col("id").as("id_a"), col("pos_a"),
+          col("id").as("id_b"), col("pos_b"),
+          (col("pos_a") - col("pos_b")).as("diag"))
+      spanIslands(matches, k)
+        .select(col("id_a").as("id"), col("start_a"), col("start_b"),
+          col("span_tokens"))
     }
   }
 
