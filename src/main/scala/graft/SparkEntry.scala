@@ -570,6 +570,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BYTE-LEVEL learned BPE (GPT-2-style byte alphabet): words symbolize as
+    // UTF-8 bytes via the fixed 256-symbol table, so the id stream NEVER
+    // contains <unk> — emoji / rare scripts keep full fidelity (the
+    // char-level model's documented information loss). n_unk rides in every
+    // row and must be 0; rows-only like q_bpe_tokenize (learned state has no
+    // SQL twin — BpeSpec pins byte symbolization, learner parity and the
+    // <unk>-free guarantee).
+    "q_bpe_tokenize_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val learned = graft.ml.Bpe.learn(docs, "text", numMerges = 200,
+        maxWords = 20000, minCount = 2L, byteLevel = true)
+      val model = graft.ml.Bpe.parseBpeFile(
+        graft.ml.Bpe.writeBpeFile(learned).linesIterator)
+      val bc = s.sparkContext.broadcast(model)
+      docs.select(col("doc_id"),
+          graft.functions.BpeExpressions.bpe_encode_ids(col("text"), bc).as("__ids"))
+        .select(col("doc_id"), size(col("__ids")).cast("long").as("n_bpe_tokens"),
+          size(filter(col("__ids"), _ === 0)).cast("long").as("n_unk"),
+          array_join(slice(col("__ids"), 1, 12).cast("array<string>"), " ")
+            .as("head_token_ids"))
+        .orderBy("doc_id")
+    }),
+
     // Per-label mean embedding (class centroids / mean pooling) through the
     // native vec_mean TypedImperativeAggregate — one d-length buffer per
     // group per task crosses the exchange, not |rows|·d (dim, value) pairs.

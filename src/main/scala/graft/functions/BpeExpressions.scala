@@ -28,9 +28,13 @@ object BpeExpressions {
 
   /** Apply the merge table to one word: repeatedly find the lowest-rank
     * adjacent pair and merge ALL its occurrences (classic BPE apply —
-    * mirrors the learner's merge order exactly). */
+    * mirrors the learner's merge order exactly). Byte-level models
+    * symbolize the word as UTF-8 bytes (GPT-2 table) first — every start
+    * symbol is then in the 256-symbol alphabet, so ids never hit `<unk>`. */
   def encodeWord(word: String, model: BpeModel): Array[String] = {
-    var syms = graft.ml.Bpe.codePointSyms(word)
+    var syms =
+      if (model.byteLevel) graft.ml.Bpe.byteSyms(word)
+      else graft.ml.Bpe.codePointSyms(word)
     val ranks = model.ranks
     var go = syms.length >= 2
     while (go) {

@@ -163,4 +163,83 @@ class BpeSpec extends AnyFunSuite {
     assert(model.merges == IndexedSeq((emoji, "a")))
     assert(BpeExpressions.encodeWord(emoji + "a", model).toSeq == Seq(emoji + "a"))
   }
+
+  test("incremental learner == full-recount learner (randomized twin, " +
+    "char-level and byte-level): identical merge sequences and alphabets") {
+    val rnd = new scala.util.Random(20260817)
+    (0 until 40).foreach { trial =>
+      val alphaSize = 2 + rnd.nextInt(5)
+      val alpha = ('a' to 'z').take(alphaSize).map(_.toString) ++
+        (if (trial % 3 == 0) Seq("é", new String(Character.toChars(0x1F600))) else Nil)
+      val words = (0 until 3 + rnd.nextInt(20)).map { _ =>
+        ((0 until 1 + rnd.nextInt(9))
+          .map(_ => alpha(rnd.nextInt(alpha.size))).mkString,
+          1L + rnd.nextInt(30))
+      }.groupBy(_._1).map { case (w, cs) => (w, cs.map(_._2).sum) }.toSeq
+      val n = rnd.nextInt(15)
+      val byteLevel = trial % 2 == 1
+      val fast = Bpe.learnMerges(words, n, byteLevel)
+      val slow = Bpe.learnMergesRecount(words, n, byteLevel)
+      assert(fast.merges == slow.merges,
+        s"trial $trial (byteLevel=$byteLevel, n=$n): merge sequences diverge\n" +
+          s"  words: $words\n  fast: ${fast.merges}\n  slow: ${slow.merges}")
+      assert(fast.alphabet == slow.alphabet && fast.byteLevel == slow.byteLevel)
+    }
+  }
+
+  test("incremental learner matches recount on the classic corpus at every " +
+    "merge budget (exhaustive prefix check)") {
+    (0 to 12).foreach { n =>
+      assert(Bpe.learnMerges(classicCounts, n).merges ==
+        Bpe.learnMergesRecount(classicCounts, n).merges, s"numMerges=$n")
+    }
+  }
+
+  test("byte-level model: emoji/CJK/accents encode with ZERO <unk> ids, " +
+    "tokens reconstruct the word's bytes, persistence round-trips byteLevel") {
+    val nasty = "café 世界 " + new String(Character.toChars(0x1F600)) +
+      " naïve ctrl"
+    val corpus = Seq((nasty + " the the lowest", 3L), ("lowest low", 5L))
+      .flatMap { case (t, c) =>
+        graft.operators.TextOps.bpeTokenPattern.r.findAllIn(t).map((_, c)) }
+      .groupBy(_._1).map { case (w, cs) => (w, cs.map(_._2).sum) }.toSeq
+    val model = Bpe.learnMerges(corpus, numMerges = 12, byteLevel = true)
+    assert(model.byteLevel && model.alphabet.size == 256)
+    // id of raw byte b is 1 + b (fixed byte-order alphabet)
+    assert(model.vocab(1 + 'a'.toInt) == "a")
+    val pat = graft.operators.TextOps.bpeTokenPattern.r
+    pat.findAllIn(nasty).foreach { w =>
+      val toks = BpeExpressions.encodeWord(w, model)
+      // concatenated tokens reconstruct the word's byte-symbol string
+      assert(toks.mkString == Bpe.byteSyms(w).mkString, s"word '$w'")
+      toks.foreach { t =>
+        val id = model.tokenIds.get(t)
+        assert(id != null && id > 0, s"byte-level token '$t' must never be <unk>")
+      }
+    }
+    // expression path: no id 0 anywhere on out-of-alphabet-heavy text
+    val bc = spark.sparkContext.broadcast(model)
+    val ids = Seq((1L, nasty)).toDF("id", "text")
+      .select(TextOps.bpeTokenizeIds(col("text"), bc).as("ids"))
+      .selectExpr("ids").as[Seq[Int]].head()
+    assert(ids.nonEmpty && !ids.contains(0),
+      s"byte-level id stream must be <unk>-free, got $ids")
+    // persistence round trip keeps byteLevel, alphabet, merges and encoding
+    val back = Bpe.parseBpeFile(Bpe.writeBpeFile(model).linesIterator)
+    assert(back.byteLevel && back.alphabet == model.alphabet &&
+      back.merges == model.merges)
+    assert(BpeExpressions.encodeWord("lowest", back).toSeq ==
+      BpeExpressions.encodeWord("lowest", model).toSeq)
+  }
+
+  test("merge symbols beginning with '#' survive the merges.txt round trip " +
+    "(header parsing is positional, not comment-stripping)") {
+    val model = Bpe.BpeModel(
+      IndexedSeq(("#", "x"), ("#x", "y"), ("#alphabet", "z")),
+      IndexedSeq("#", "x", "y", "z", "#alphabet"))
+    val back = Bpe.parseBpeFile(Bpe.writeBpeFile(model).linesIterator)
+    assert(back.merges == model.merges, "'#'-headed merges must not be " +
+      "dropped as comments (rank shift would corrupt every token id)")
+    assert(back.alphabet == model.alphabet)
+  }
 }
