@@ -20,6 +20,29 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** DuckDB replay of [[graft.operators.Curation.stripMarkup]]: the same
+    * regexp_replace chain over `inner`, patterns interpolated from the SAME
+    * Curation constants (RE2 ∩ Java regex by construction — no lookaround,
+    * no backreferences), newline replacements as chr(10). */
+  private def stripMarkupOracleExpr(inner: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    val C = graft.operators.Curation
+    var e = inner
+    def rr(pat: String, repSql: String): Unit =
+      e = s"regexp_replace($e, '${q(pat)}', $repSql, 'g')"
+    rr(C.scriptBlockPattern, "''")
+    rr(C.styleBlockPattern, "''")
+    rr(C.htmlCommentPattern, "''")
+    rr(C.blockBreakPattern, "chr(10)")
+    rr(C.tagPattern, "' '")
+    C.entityReplacements.foreach { case (p, r) => rr(p, s"'${q(r)}'") }
+    rr(C.hspacePattern, "' '")
+    rr(C.nlTrimPattern, "chr(10)")
+    rr(C.blankRunPattern, "chr(10) || chr(10)")
+    rr(C.edgeTrimPattern, "''")
+    e
+  }
+
   /** Deterministic near-duplicate injection for the dedup operators: the
     * first `n` documents are re-emitted with doc_id+1000000 and one token
     * appended — same construction in the SQL oracle. */
@@ -637,6 +660,32 @@ object SparkEntry {
           lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
           lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7 end"))).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML/markup text extraction (the step upstream of boilerplate-line
+    // removal — a crawl corpus arrives as HTML, not prose). Documents are
+    // wrapped row-locally in a synthesized page exercising every pass:
+    // multi-line script (with <, &&, " inside JS), style, multi-line
+    // comment, block/inline tags, br/hr breaks, the whole entity set incl.
+    // the double-escape &amp;lt; case and an unknown &bogus;. The oracle
+    // replays the IDENTICAL regexp_replace chain (patterns interpolated
+    // from the same Curation constants; RE2 ∩ Java regex by construction),
+    // so tag stripping, entity decode order and whitespace normalization
+    // are all hash-checked.
+    "q_strip_html" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><!-- doc "), d, lit("\nspans lines -->"),
+        lit("<head><style type=\"text/css\">p { color: #abc; }\n.x { margin: 0 }</style>"),
+        lit("<script>\nif (a<b && c>d) { alert(\"x&y\"); }\n</script></head>"),
+        lit("<body><div class=\"main\"><h1>Doc "), d, lit("</h1><p>"),
+        regexp_replace(substring(col("text"), 1, 500), " the ", " <b>the</b> "),
+        lit("</p><br/><ul><li>one &amp; two</li><li>a&nbsp;b</li></ul><hr >"),
+        lit("<p>&amp;lt;keep&gt; &quot;q&quot; &#39;s&#39; &bogus; 1 &lt; 2</p>"),
+        lit("</div></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Curation.stripMarkup(html).as("clean_text"))
         .orderBy("doc_id")
     }),
 
@@ -1902,6 +1951,26 @@ object SparkEntry {
         |  '""".stripMargin + graft.operators.Curation.ipPattern +
         """', '<IP>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_strip_html" -> {
+      // the same synthesized page as the Spark side (chr(10) = the real
+      // newlines Spark's lit("\n") embeds), then the IDENTICAL pass chain
+      // with patterns interpolated from the Curation constants
+      val inner = "concat('<html><!-- doc ', CAST(doc_id AS VARCHAR), " +
+        "chr(10), 'spans lines -->', " +
+        "'<head><style type=\"text/css\">p { color: #abc; }', chr(10), " +
+        "'.x { margin: 0 }</style>', " +
+        "'<script>', chr(10), 'if (a<b && c>d) { alert(\"x&y\"); }', " +
+        "chr(10), '</script></head>', " +
+        "'<body><div class=\"main\"><h1>Doc ', CAST(doc_id AS VARCHAR), " +
+        "'</h1><p>', " +
+        "regexp_replace(substr(text, 1, 500), ' the ', ' <b>the</b> ', 'g'), " +
+        "'</p><br/><ul><li>one &amp; two</li><li>a&nbsp;b</li></ul><hr >', " +
+        "'<p>&amp;lt;keep&gt; &quot;q&quot; &#39;s&#39; &bogus; 1 &lt; 2</p>', " +
+        "'</div></body></html>')"
+      s"SELECT doc_id, ${stripMarkupOracleExpr(inner)} AS clean_text " +
+        "FROM documents ORDER BY doc_id"
+    },
 
     "q_normalize" ->
       """SELECT doc_id,

@@ -100,6 +100,87 @@ object Curation {
         phonePattern, "<PHONE>"),
       ipPattern, "<IP>")
 
+  // ------------------------------------------------- HTML/markup stripping
+  // A real crawl corpus arrives as HTML; these are the text-extraction
+  // passes upstream of removeBoilerplateLines (which handles repeated
+  // LINES, not markup). Deliberately regex-composed — every pass is plain
+  // `regexp_replace`, shared between Java regex and RE2 (no lookaround, no
+  // backreferences), so any auditing engine replays the extraction
+  // byte-for-byte and the scan stays in whole-stage codegen.
+
+  /** `<script …>…</script>` blocks, case-insensitive, dot-matches-newline,
+    * non-greedy (an UNCLOSED script tag is left for [[tagPattern]], leaking
+    * its code as text — the standard regex-extractor limitation, preferred
+    * over a greedy match that would swallow the document). */
+  val scriptBlockPattern: String = "(?is)<script\\b.*?</script\\s*>"
+
+  /** `<style …>…</style>` blocks — same contract as [[scriptBlockPattern]]. */
+  val styleBlockPattern: String = "(?is)<style\\b.*?</style\\s*>"
+
+  /** HTML comments `<!-- … -->`, spanning lines. */
+  val htmlCommentPattern: String = "(?s)<!--.*?-->"
+
+  /** Tags that imply a LINE BREAK in rendered text: `<br>`/`<hr>` (any
+    * self-closing spelling) and the CLOSE of block-level containers. These
+    * become `\n` so paragraph structure survives tag stripping (`</p\s*>`
+    * cannot catch `</pre>` — the name list is exact, not prefix). */
+  val blockBreakPattern: String =
+    "(?i)<(?:br|hr)\\s*/?\\s*>|(?i)</(?:p|div|h[1-6]|li|ul|ol|tr|table|" +
+      "blockquote|pre|section|article|header|footer)\\s*>"
+
+  /** Every remaining tag → one space (a separator, never a word-gluer:
+    * `a<div>b` must not become `ab`). A lone `<` with no `>` is text. */
+  val tagPattern: String = "(?s)<[^>]*>"
+
+  /** Ordered entity decodes — the common named/numeric set expressible as
+    * literal replaces (full numeric `&#NNN;` decode needs chr() and is not
+    * regex-replayable; out-of-set entities pass through as text, the
+    * conservative choice). `&amp;` is LAST so double-escaped entities
+    * decode exactly one level (`&amp;lt;` → literal `&lt;`, the correct
+    * single-pass unescape). */
+  val entityReplacements: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "&apos;" -> "'", "&#39;" -> "'",
+    "&amp;" -> "&")
+
+  /** Horizontal-whitespace runs (everything but `\n`) → one space. */
+  val hspacePattern: String = "[ \\t\\x0B\\f\\r]+"
+
+  /** Spaces hugging a newline (post-[[hspacePattern]]: at most one each
+    * side) — trimmed so line content is flush. */
+  val nlTrimPattern: String = " ?\\n ?"
+
+  /** Runs of 3+ newlines → a single blank line (paragraph break kept). */
+  val blankRunPattern: String = "\\n{3,}"
+
+  /** Leading/trailing whitespace (only spaces/newlines survive the passes
+    * above; `$`-before-final-newline semantics differ between engines, but
+    * `\n` in the class makes both consume to the true end). */
+  val edgeTrimPattern: String = "^[ \\n]+|[ \\n]+$"
+
+  /**
+   * Row-local HTML/markup text extraction: drop script/style/comment
+   * blocks, convert line-breaking tags to `\n`, strip remaining tags to a
+   * space, decode the common entities, then normalize whitespace
+   * (horizontal runs → one space, spaces trimmed around newlines, blank-line
+   * runs capped at one, ends trimmed). Pure `regexp_replace` composition —
+   * codegen'd, shuffle-free, and replayed verbatim by the DuckDB oracle
+   * (q_strip_html).
+   */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(text,
+      scriptBlockPattern, ""), styleBlockPattern, ""), htmlCommentPattern, "")
+    val broken = regexp_replace(noBlocks, blockBreakPattern, "\n")
+    val untagged = regexp_replace(broken, tagPattern, " ")
+    val decoded = entityReplacements.foldLeft(untagged) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    val ws1 = regexp_replace(decoded, hspacePattern, " ")
+    val ws2 = regexp_replace(ws1, nlTrimPattern, "\n")
+    val ws3 = regexp_replace(ws2, blankRunPattern, "\n\n")
+    regexp_replace(ws3, edgeTrimPattern, "")
+  }
+
   /**
    * Canonical text normalization before exact/near dedup: lowercase, collapse
    * every whitespace run to one space, trim. Makes exact-dedup catch

@@ -308,4 +308,51 @@ class CurationSpec extends AnyFunSuite {
     assert(got.map(r => r._1 -> r._2).toMap ==
       Map(1L -> "a\n\nx", 2L -> "b\n\ny", 3L -> "c\n\nz"))
   }
+
+  private def strip(html: String): String =
+    Seq((1L, html)).toDF("id", "t")
+      .select(Curation.stripMarkup(col("t"))).as[String].head()
+
+  test("stripMarkup: drops script/style/comment blocks (multi-line, nasty " +
+    "JS with <, &&, quotes), strips tags, keeps text") {
+    val html = "<html><head><title>T</title>" +
+      "<style type=\"text/css\">\nbody { margin: 0; }\na > b { x: 1 }\n</style>" +
+      "<script>\nfor (var i=0; i<10 && f(\"<p>\"); i++) { g('</di'+'v>'); }\n" +
+      "</script></head><body>hello <b>world</b></body></html>"
+    assert(strip(html) == "T hello world")
+    // comments spanning lines, including markup inside the comment; block
+    // removal is "" (no separator — same as script/style)
+    assert(strip("a<!-- hidden\n<p>not text</p>\n-->b") == "ab")
+    // SCRIPT/Style case-insensitive
+    assert(strip("x<SCRIPT>evil()</sCrIpT >y<STYLE>s</Style>z") == "xyz")
+  }
+
+  test("stripMarkup: block-level closes and br/hr become newlines; inline " +
+    "tags become spaces; </pre> breaks but </p-prefix names don't collide") {
+    assert(strip("<h1>Title</h1><p>one</p><p>two</p>") == "Title\none\ntwo")
+    assert(strip("a<br>b<br/>c<br />d<hr>e") == "a\nb\nc\nd\ne")
+    assert(strip("<ul><li>x</li><li>y</li></ul>") == "x\ny")
+    // </pre> is in the break list explicitly; tag stripping never merges words
+    assert(strip("<pre>code</pre>next") == "code\nnext")
+    assert(strip("a<div>b</div>c") == "a b\nc")
+    assert(strip("bo<b>ld</b>") == "bo ld")
+  }
+
+  test("stripMarkup: entity decode — common set, single level (&amp;lt; " +
+    "stays literal &lt;), unknown entities pass through, &amp; last") {
+    assert(strip("1 &lt; 2 &amp;&amp; 3 &gt; 2") == "1 < 2 && 3 > 2")
+    assert(strip("&quot;q&quot; &#34;d&#34; &apos;a&apos; &#39;n&#39;") ==
+      "\"q\" \"d\" 'a' 'n'")
+    assert(strip("a&nbsp;b") == "a b")
+    assert(strip("&amp;lt;not-a-tag&gt;") == "&lt;not-a-tag>")
+    assert(strip("&bogus; &copy;") == "&bogus; &copy;")
+  }
+
+  test("stripMarkup: whitespace normalization — horizontal runs collapse, " +
+    "lines trim flush, blank runs cap at one, ends trimmed; lone < is text") {
+    assert(strip("  <p>a   b\t\tc</p>\n\n\n\n<p>d</p>  ") == "a b c\n\nd")
+    assert(strip("x < y") == "x < y")
+    assert(strip("") == "")
+    assert(strip("<p></p><div></div>") == "")
+  }
 }
