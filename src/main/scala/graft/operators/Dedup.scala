@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -445,13 +445,26 @@ object Dedup {
    * quadratic-blowup guard, not a semantic knob; with the default 10⁴ it
    * binds on neither path in practice (parity is asserted in DedupSpec).
    */
-  def decontaminateBloom(left: DataFrame, right: DataFrame,
-                         leftId: String, rightId: String,
-                         leftText: String, rightText: String,
-                         shingleN: Int = 3, threshold: Double = 0.8,
-                         maxShingleDf: Int = 10000,
-                         fpp: Double = 0.01): DataFrame = {
-    val spark = left.sparkSession
+  /** The broadcastable "contamination door" model [[benchmarkBloom]] builds:
+    * one Bloom filter over the benchmark suite's distinct shingles plus the
+    * conservative hit bound — a document with `bloom_hits < minHits` is
+    * PROVABLY below the containment threshold against every benchmark doc
+    * (no false negatives), row-locally, with no join. Drives both the batch
+    * prefilter ([[decontaminateBloom]]) and the streaming at-the-door filter
+    * ([[graft.streaming.StreamingOps.decontaminateAtDoor]]). */
+  final case class BloomDoor(
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      minHits: Int, shingleN: Int)
+
+  /** Build a [[BloomDoor]] from a benchmark suite: shingle each benchmark
+    * doc once (persisted for the min-size pass + the distinct explode), fit
+    * the Bloom at the distinct-shingle count, bound = ceil(θ · min_b|sh_b|).
+    * None when no benchmark doc yields a shingle (nothing can contaminate). */
+  def benchmarkBloom(right: DataFrame, rightText: String,
+                     shingleN: Int = 3, threshold: Double = 0.8,
+                     fpp: Double = 0.01): Option[BloomDoor] = {
+    val spark = right.sparkSession
     val benchSh = right.select(
       graft.functions.TextExpressions.word_shingles(col(rightText), shingleN,
         distinct = true).as("sh"))
@@ -459,23 +472,42 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val minRow = benchSh.agg(min(size(col("sh")))).head()
-      if (minRow.isNullAt(0)) return left // no shingled benchmark docs
-      val minB = minRow.getInt(0)
-      val distinctSh = benchSh.select(explode(col("sh")).as("s")).distinct()
-      val bloom = distinctSh.stat.bloomFilter("s",
-        math.max(1L, distinctSh.count()), fpp)
-      val bc = spark.sparkContext.broadcast(bloom)
-      val minHits = math.max(1, math.ceil(threshold * minB).toInt)
-      val survivors = left.where(
-        graft.functions.BloomExpressions.bloom_hits(
-          graft.functions.TextExpressions.word_shingles(col(leftText),
-            shingleN, distinct = true), bc) >= minHits)
-      val contaminated = crossNgramOverlap(survivors, right, leftId, rightId,
-        leftText, rightText, shingleN, threshold, maxShingleDf)
-        .select(col("id_l").as(leftId)).distinct()
-      left.join(contaminated, Seq(leftId), "left_anti")
+      if (minRow.isNullAt(0)) None // no shingled benchmark docs
+      else {
+        val minB = minRow.getInt(0)
+        val distinctSh = benchSh.select(explode(col("sh")).as("s")).distinct()
+        val bloom = distinctSh.stat.bloomFilter("s",
+          math.max(1L, distinctSh.count()), fpp)
+        val minHits = math.max(1, math.ceil(threshold * minB).toInt)
+        Some(BloomDoor(spark.sparkContext.broadcast(bloom), minHits, shingleN))
+      }
     } finally { benchSh.unpersist(blocking = false); () }
   }
+
+  /** Row-local SUSPECT predicate under a [[BloomDoor]]: true iff the text
+    * clears the conservative hit bound (could be contaminated — needs exact
+    * verification); false is a proof of cleanliness. Stateless and
+    * codegen'd — safe in any stream. */
+  def bloomSuspect(text: Column, door: BloomDoor): Column =
+    graft.functions.BloomExpressions.bloom_hits(
+      graft.functions.TextExpressions.word_shingles(text, door.shingleN,
+        distinct = true), door.bloom) >= door.minHits
+
+  def decontaminateBloom(left: DataFrame, right: DataFrame,
+                         leftId: String, rightId: String,
+                         leftText: String, rightText: String,
+                         shingleN: Int = 3, threshold: Double = 0.8,
+                         maxShingleDf: Int = 10000,
+                         fpp: Double = 0.01): DataFrame =
+    benchmarkBloom(right, rightText, shingleN, threshold, fpp) match {
+      case None => left // no shingled benchmark docs
+      case Some(door) =>
+        val survivors = left.where(bloomSuspect(col(leftText), door))
+        val contaminated = crossNgramOverlap(survivors, right, leftId, rightId,
+          leftText, rightText, shingleN, threshold, maxShingleDf)
+          .select(col("id_l").as(leftId)).distinct()
+        left.join(contaminated, Seq(leftId), "left_anti")
+    }
 
   /**
    * Cross-document EXACT repeated spans (Lee et al. 2021, arXiv:2107.06499

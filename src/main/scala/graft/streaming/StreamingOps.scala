@@ -105,6 +105,31 @@ object StreamingOps {
       }
       .start()
 
+  /** In-flight LM quality scoring (the CCNet curation signal at the door):
+    * append `cross_entropy` via the row-local broadcast `lm_score`
+    * expression — stateless, so a live ingest and a 100 TB backfill share
+    * one scoring definition (term-for-term the batch
+    * [[graft.operators.TextOps.lmScore]] arithmetic; parity in
+    * StreamingSpec). Docs with < 2 tokens score NULL. Pair with a
+    * `.where(col("cross_entropy") <= τ)` to drop noise in flight. */
+  def scoreStream(docs: DataFrame, textCol: String,
+                  lm: org.apache.spark.broadcast.Broadcast[
+                    graft.functions.LmExpressions.LocalLm]): DataFrame =
+    docs.withColumn("cross_entropy",
+      graft.operators.TextOps.lmScoreBroadcast(col(textCol), lm))
+
+  /** In-flight decontamination (the streaming twin of
+    * [[graft.operators.Dedup.decontaminateBloom]]'s prefilter): drop every
+    * document the [[graft.operators.Dedup.BloomDoor]] cannot PROVE clean,
+    * row-locally, no state, no join. Conservative by construction — the
+    * kept set is a subset of batch `decontaminate`'s (Bloom false positives
+    * over-drop at rate ≤ fpp^minHits-ish; a benchmark-contaminated doc can
+    * never slip through, the direction that matters for training data).
+    * Batch parity bounds are asserted in StreamingSpec. */
+  def decontaminateAtDoor(docs: DataFrame, textCol: String,
+                          door: graft.operators.Dedup.BloomDoor): DataFrame =
+    docs.where(!graft.operators.Dedup.bloomSuspect(col(textCol), door))
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionUpdate(user_id: Long, session_seq: Long, n_events: Long,
                                  start_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

@@ -255,4 +255,56 @@ class StreamingSpec extends AnyFunSuite {
     // in-domain text scores strictly lower cross-entropy than noise
     assert(got(1L).get < got(2L).get)
   }
+
+  test("decontaminate-at-the-door: the streaming Bloom filter drops every " +
+    "doc batch decontamination drops (conservative), keeps provably-clean " +
+    "docs, and the curate-in-flight pipeline (score → door → idempotent " +
+    "snapshot sink) is exactly-once by key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, TextOps}
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // exact copy
+      (2L, "totally different words entirely written here"), // clean
+      (3L, "intro words then alpha beta gamma delta epsilon zeta appended"),
+      (4L, "spark streams curate web corpora at scale"))     // clean
+    val door = Dedup.benchmarkBloom(bench, "btext", shingleN = 3,
+      threshold = 0.8).get
+    val batchKept = Dedup.decontaminateBloom(corpus.toDF("doc_id", "text"),
+        bench, "doc_id", "bid", "text", "btext", shingleN = 3, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(2L, 4L)) // fixture sanity: 1 and 3 contaminated
+    // the full in-flight curation pipeline: LM score → contamination door →
+    // snapshot sink (exactly-once by key across replayed batches)
+    val lm = TextOps.bigramLm(corpus.toDF("doc_id", "text"), "text")
+    val lmBc = spark.sparkContext.broadcast(TextOps.collectLm(lm))
+    lm.release()
+    val table = java.nio.file.Files.createTempDirectory("graft_door_snap")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_door_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val cleaned = StreamingOps.decontaminateAtDoor(
+      StreamingOps.scoreStream(input.toDF().toDF("doc_id", "text"), "text", lmBc),
+      "text", door)
+      .withColumn("part", (col("doc_id") % 2).cast("int"))
+    val q = StreamingOps.sinkToSnapshot(cleaned, table, "doc_id", Seq("part"), ckpt)
+    input.addData(corpus: _*)
+    q.processAllAvailable()
+    input.addData(corpus: _*) // full replay: every key is a duplicate
+    q.processAllAvailable(); q.stop()
+    val got = graft.sink.SnapshotSink.read(spark, table)
+    val streamKept = got.select("doc_id").as[Long].collect().toSet
+    // conservative containment: stream-kept ⊆ batch-kept (door may over-drop,
+    // never under-drop) and every contaminated doc is gone
+    assert(streamKept.subsetOf(batchKept), s"door must never keep a doc " +
+      s"batch decontamination drops: stream=$streamKept batch=$batchKept")
+    assert((Set(1L, 3L) & streamKept).isEmpty)
+    assert(streamKept.nonEmpty, "provably-clean docs must pass the door")
+    assert(got.count() == streamKept.size, "replayed batch must write nothing")
+    // the score column rode through the door and the sink
+    assert(got.select("cross_entropy").as[Option[Double]].collect()
+      .forall(_.nonEmpty))
+  }
 }
