@@ -451,6 +451,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher document-quality rules (Rae et al. 2112.11446 Table A1 — the
+    // standard web-corpus filter set). Docs are synthesized into the rule
+    // regimes deterministically (length tripled/doubled by doc_id%3; bullet
+    // lines / ellipsis endings / symbol runs / stopword tail by doc_id%4)
+    // so every rule fires both ways. The oracle replays each signal from
+    // the SAME pattern constants and the full pass conjunction.
+    "q_gopher_quality" -> ((s, dir) => {
+      val m3 = pmod(col("doc_id"), lit(3))
+      val m4 = pmod(col("doc_id"), lit(4))
+      val rep = when(m3 === 0, concat_ws(" ", col("text"), col("text"), col("text")))
+        .when(m3 === 1, concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text"))
+      val tail = when(m4 === 0, lit("\n- bullet point\n- another\n* third"))
+        .when(m4 === 1, lit("\nthis line trails off...\nand another one…"))
+        .when(m4 === 2, lit(" ### ## # 123 456 789 ..."))
+        .otherwise(lit(" the data have to be of use with care"))
+      val g = TextOps.gopherQuality(concat(rep, tail))
+      t(s, dir, "documents")
+        .select(col("doc_id"), g.as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          round(col("g.mean_word_len"), 6).as("mean_word_len"),
+          round(col("g.symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("g.bullet_line_frac"), 6).as("bullet_line_frac"),
+          round(col("g.ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+          round(col("g.alpha_word_frac"), 6).as("alpha_word_frac"),
+          col("g.n_stopwords").as("n_stopwords"),
+          col("g.pass").as("pass"))
+        .orderBy("doc_id")
+    }),
+
     // BPE-ish subword-token estimate (letter runs + single digits + single
     // punctuation glyphs — the GPT-2 pre-tokenizer's coarse shape).
     "q_token_count_bpe" -> ((s, dir) => {
@@ -760,6 +791,18 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.1))
         .withColumnRenamed("rank", "rk")
         .orderBy("source", "rk")
+    }),
+
+    // Target-mix rebalance by TOKEN budget (the unit Pile/Dolma weighting
+    // actually uses): per-group token quotas q_g = floor(p_g·N),
+    // N = min_g floor(tokens_g/p_g); docs taken in deterministic
+    // (md5-shard, md5-key, id) order while the cumulative token count stays
+    // ≤ q_g. The two-phase sharded cumsum must agree EXACTLY with the
+    // oracle's single global window — the offsets join is hash-checked.
+    "q_rebalance_tokens" -> ((s, dir) => {
+      Curation.rebalanceMixTokens(t(s, dir, "documents"), "source", "doc_id",
+        "text", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.1), shards = 8)
+        .orderBy("source", "cum_tokens", "doc_id")
     }),
 
     // ------------------------------------------------------- deduplication
@@ -1343,6 +1386,56 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
         |  ELSE CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_quality" -> {
+      val T = graft.operators.TextOps
+      val stopSum = T.gopherStopwords.map(w =>
+        s"CASE WHEN regexp_matches(t, '(?i)\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN concat_ws(' ', text, text, text)
+         |          WHEN doc_id % 3 = 1 THEN concat_ws(' ', text, text)
+         |          ELSE text END) ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet point' || chr(10) || '- another' || chr(10) || '* third'
+         |          WHEN doc_id % 4 = 1 THEN chr(10) || 'this line trails off...' || chr(10) || 'and another one…'
+         |          WHEN doc_id % 4 = 2 THEN ' ### ## # 123 456 789 ...'
+         |          ELSE ' the data have to be of use with care' END) AS t
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0
+         |      ELSE CAST(array_length(regexp_split_to_array(TRIM(t), '\\s+')) AS BIGINT) END AS n_words,
+         |    CAST(LENGTH(regexp_replace(t, '[ \\t\\n\\r]+', '', 'g')) AS DOUBLE) AS nchars,
+         |    CAST(len(regexp_extract_all(t, '${T.gopherSymbolPattern}')) AS DOUBLE) AS nsym,
+         |    CAST(array_length(string_split(t, chr(10))) AS DOUBLE) AS nlines,
+         |    CAST(len(regexp_extract_all(t, '${T.gopherBulletLinePattern}')) AS DOUBLE) AS nbul,
+         |    CAST(len(regexp_extract_all(t, '${T.gopherEllipsisLinePattern}')) AS DOUBLE) AS nell,
+         |    CAST(len(regexp_extract_all(t, '${T.gopherAlphaWordPattern}')) AS DOUBLE) AS nalpha,
+         |    CAST($stopSum AS INT) AS n_stopwords
+         |  FROM synth),
+         |r AS (
+         |  SELECT doc_id, n_words, n_stopwords,
+         |    nchars / GREATEST(CAST(n_words AS DOUBLE), 1.0) AS mean_word_len,
+         |    nsym / GREATEST(CAST(n_words AS DOUBLE), 1.0) AS symbol_word_ratio,
+         |    nbul / GREATEST(nlines, 1.0) AS bullet_line_frac,
+         |    nell / GREATEST(nlines, 1.0) AS ellipsis_line_frac,
+         |    nalpha / GREATEST(CAST(n_words AS DOUBLE), 1.0) AS alpha_word_frac
+         |  FROM sig)
+         |SELECT doc_id, n_words,
+         |  ROUND(CASE WHEN n_words = 0 THEN 0.0 ELSE mean_word_len END, 6) AS mean_word_len,
+         |  ROUND(CASE WHEN n_words = 0 THEN 0.0 ELSE symbol_word_ratio END, 6) AS symbol_word_ratio,
+         |  ROUND(bullet_line_frac, 6) AS bullet_line_frac,
+         |  ROUND(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+         |  ROUND(CASE WHEN n_words = 0 THEN 0.0 ELSE alpha_word_frac END, 6) AS alpha_word_frac,
+         |  n_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000 AND
+         |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |   symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND
+         |   ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND
+         |   n_stopwords >= 2) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     // pattern interpolated verbatim: backslash escapes (\t \n \r) are inert in
     // DuckDB single-quoted strings and resolve inside RE2 exactly as the same
@@ -2023,6 +2116,37 @@ object SparkEntry {
         |SELECT r.source, r.doc_id, r.rk
         |FROM ranked r JOIN ks ON ks.source = r.source AND r.rk <= ks.k
         |ORDER BY r.source, r.rk""".stripMargin,
+
+    // single global cumulative window per group — must hash-match the
+    // engine's two-phase sharded cumsum exactly
+    "q_rebalance_tokens" ->
+      """WITH targets(source, p) AS (
+        |  VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |         ('src2', CAST(0.1 AS DOUBLE))
+        |), base AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |      ELSE CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647 AS key
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |), tot AS (
+        |  SELECT source, SUM(n_tokens) AS t FROM base GROUP BY source
+        |), nn AS (
+        |  SELECT CAST(MIN(FLOOR(COALESCE(tot.t, 0) / targets.p)) AS BIGINT) AS n
+        |  FROM targets LEFT JOIN tot USING (source)
+        |), qs AS (
+        |  SELECT t.source, CAST(FLOOR(t.p * nn.n) AS BIGINT) AS q
+        |  FROM targets t CROSS JOIN nn
+        |), cum AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY shard, key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM base
+        |)
+        |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens
+        |FROM cum c JOIN qs ON qs.source = c.source AND qs.q > 0 AND c.cum_tokens <= qs.q
+        |ORDER BY c.source, c.cum_tokens, c.doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH all_docs AS (

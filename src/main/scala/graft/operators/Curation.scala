@@ -298,6 +298,78 @@ object Curation {
   }
 
   /**
+   * Deterministic rebalance to a target mix by TOKEN budget — the unit
+   * Pile/Dolma weighting actually uses (a source's contribution to training
+   * is its token mass, not its document count; [[rebalanceMix]] is the
+   * doc-count variant). Per targeted group g the quota is
+   * q_g = floor(p_g · N) tokens with N = min_g floor(tokens_g / p_g) — the
+   * largest total budget every group can supply; documents are taken in the
+   * deterministic md5-key order until the quota is filled (a doc is kept
+   * iff its CUMULATIVE token count stays ≤ q_g, so the selection never
+   * overshoots and membership is a pure function of ids + token counts —
+   * reproducible under re-partitioning and corpus growth, the same contract
+   * as every other curation op).
+   *
+   * Scale shape: token counting is row-local; the per-group totals come
+   * from one aggregate whose result is collected (group domain is
+   * mix-policy-sized, bounded by `targets`). The cumulative sum is
+   * TWO-PHASE so a popular source never serializes into one Window task:
+   * docs hash into `shards` md5 sub-shards per group, shard subtotals
+   * (|groups|·shards rows — tiny) window into per-shard offsets, and the
+   * within-shard cumsum Window partitions by (group, shard) — bounded
+   * parallel partitions carrying (group, id, n_tokens) only, never text.
+   * The global selection order is (shard, md5-key, id): still a pure
+   * function of the id. Returns (groupCol, idCol, n_tokens, cum_tokens)
+   * with cum_tokens ≤ quota.
+   */
+  def rebalanceMixTokens(df: DataFrame, groupCol: String, idCol: String,
+                         textCol: String, targets: Map[String, Double],
+                         shards: Int = 64): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val pos = targets.filter(_._2 > 0)
+    require(pos.nonEmpty, "rebalanceMixTokens: no positive target proportions")
+    require(pos.values.forall(p => !p.isNaN && !p.isInfinite),
+      "rebalanceMixTokens: non-finite target proportion")
+    require(pos.values.sum <= 1.0 + 1e-9,
+      s"rebalanceMixTokens: target proportions sum to ${pos.values.sum} > 1")
+    val base = df.where(col(groupCol).isin(pos.keys.toSeq: _*))
+      .select(col(groupCol), col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        hashBucket(col(idCol), shards).as("__shard"),
+        hashBucket(col(idCol), Int.MaxValue).as("__key"))
+    val totals = base.groupBy(col(groupCol)).agg(sum("n_tokens").as("__t"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val n = pos.keys.map(g => math.floor(totals.getOrElse(g, 0L) / pos(g)))
+      .min.toLong
+    val qs = pos.map { case (g, p) => g -> math.floor(p * n).toLong }
+      .filter(_._2 > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (qs.isEmpty)
+      return base.select(col(groupCol), col(idCol), col("n_tokens"))
+        .withColumn("cum_tokens", lit(0L)).limit(0)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(groupCol), col("__shard"))
+      .agg(sum("n_tokens").as("__st"))
+      .withColumn("__offset", coalesce(sum(col("__st")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("__shard"), col("__offset"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__shard"))
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val qDf = broadcast(qs.toSeq.toDF(groupCol, "__q"))
+    base
+      .withColumn("__within", sum(col("n_tokens")).over(wCum))
+      .join(broadcast(offsets), Seq(groupCol, "__shard"))
+      .withColumn("cum_tokens", col("__offset") + col("__within"))
+      .join(qDf, Seq(groupCol))
+      .where(col("cum_tokens") <= col("__q"))
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /**
    * C4/RefinedWeb-style boilerplate LINE removal: delete every line whose
    * exact content recurs in ≥ `minDocs` DISTINCT documents (nav menus,
    * cookie banners, copyright footers — C4 [Raffel et al. 2020,

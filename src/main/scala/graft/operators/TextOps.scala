@@ -86,6 +86,87 @@ object TextOps {
     greatest(lit(0.0), least(lit(1.0), raw))
   }
 
+  // ------------------------------------------------ Gopher quality rules
+  // Rae et al. 2021 (arXiv:2112.11446, Table A1) — the standard web-corpus
+  // document filter set, adopted by RefinedWeb/Dolma. Every signal is
+  // row-local and built from regex/arithmetic in the RE2 ∩ Java subset so
+  // the DuckDB oracle replays the rules byte-for-byte (q_gopher_quality).
+
+  /** Symbols Gopher counts against the word count: `#`, the three-dot and
+    * the single-glyph ellipsis (non-overlapping matches; `...` first so a
+    * literal three-dot run is one symbol, not three). */
+  val gopherSymbolPattern: String = "\\.\\.\\.|\u2026|#"
+
+  /** Lines starting with a bullet glyph (multiline anchors work the same in
+    * Java regex and RE2; horizontal-space class so `^` can't eat a newline). */
+  val gopherBulletLinePattern: String = "(?m)^[ \\t]*[-*\u2022\u2023\u25aa]"
+
+  /** Lines ending with an ellipsis. */
+  val gopherEllipsisLinePattern: String = "(?m)(?:\\.\\.\\.|\u2026)[ \\t]*$"
+
+  /** Words containing at least one alphabetic character: each match consumes
+    * one whitespace-delimited word up to its last letter — a word can match
+    * at most once (the remainder has no delimiter to start a new match). */
+  val gopherAlphaWordPattern: String =
+    "(?:^|[ \\t\\n\\r])[^ \\t\\n\\r]*[A-Za-z]"
+
+  /** Gopher's required-stopword set: a document must contain ≥ 2 of these. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Thresholds from arXiv:2112.11446 Table A1 (defaults = the paper's). */
+  final case class GopherConfig(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1, maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minStopwords: Int = 2)
+
+  /**
+   * Gopher repetition-free quality rules as a struct column:
+   * (n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+   * ellipsis_line_frac, alpha_word_frac, n_stopwords, pass). `pass` is the
+   * conjunction of all rules at `cfg` thresholds. Mean word length is
+   * non-whitespace chars / words (identical to the per-word mean under
+   * whitespace tokenization, without a per-token interpreted lambda —
+   * CLAUDE.md's HOF cost rule). Zero-word documents fail `pass` and report
+   * zero ratios (no division by zero). Row-local, codegen'd, no shuffle —
+   * composes with any scan at 100 TB.
+   */
+  def gopherQuality(text: Column, cfg: GopherConfig = GopherConfig()): Column = {
+    val nWords = tokenCount(text).cast("long")
+    val safeW = greatest(nWords, lit(1L)).cast("double")
+    val meanLen = length(regexp_replace(text, "[ \\t\\n\\r]+", ""))
+      .cast("double") / safeW
+    val symbolRatio = size(regexp_extract_all(text,
+      lit(gopherSymbolPattern), lit(0))).cast("double") / safeW
+    val nLines = size(split(text, "\n")).cast("double")
+    val bulletFrac = size(regexp_extract_all(text,
+      lit(gopherBulletLinePattern), lit(0))).cast("double") / greatest(nLines, lit(1.0))
+    val ellipsisFrac = size(regexp_extract_all(text,
+      lit(gopherEllipsisLinePattern), lit(0))).cast("double") / greatest(nLines, lit(1.0))
+    val alphaFrac = size(regexp_extract_all(text,
+      lit(gopherAlphaWordPattern), lit(0))).cast("double") / safeW
+    val nStop = gopherStopwords.map(w =>
+        when(text.rlike("(?i)\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    val pass = nWords >= cfg.minWords && nWords <= cfg.maxWords &&
+      meanLen >= cfg.minMeanWordLen && meanLen <= cfg.maxMeanWordLen &&
+      symbolRatio <= cfg.maxSymbolWordRatio &&
+      bulletFrac <= cfg.maxBulletLineFrac &&
+      ellipsisFrac <= cfg.maxEllipsisLineFrac &&
+      alphaFrac >= cfg.minAlphaWordFrac && nStop >= cfg.minStopwords
+    struct(
+      nWords.as("n_words"),
+      when(nWords === 0, lit(0.0)).otherwise(meanLen).as("mean_word_len"),
+      when(nWords === 0, lit(0.0)).otherwise(symbolRatio).as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      when(nWords === 0, lit(0.0)).otherwise(alphaFrac).as("alpha_word_frac"),
+      nStop.as("n_stopwords"),
+      pass.as("pass"))
+  }
+
   /** Per-language stopword sets for the n-gram/stopword language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),

@@ -309,6 +309,56 @@ class CurationSpec extends AnyFunSuite {
       Map(1L -> "a\n\nx", 2L -> "b\n\ny", 3L -> "c\n\nz"))
   }
 
+  test("rebalanceMixTokens: quotas never overshoot, selection is " +
+    "partitioning-invariant, sharded cumsum equals the naive global order, " +
+    "and token shares track the targets") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 300L).map { i =>
+      val g = s"s${i % 3}"
+      val words = 1 + rnd.nextInt(40)
+      (i, g, (0 until words).map(w => s"w$w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val targets = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    val got = Curation.rebalanceMixTokens(docs, "source", "doc_id", "text",
+      targets, shards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // compute quotas by hand
+    val totals = docs.groupBy("source")
+      .agg(sum(graft.operators.TextOps.tokenCount(col("text")).cast("long")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = targets.map { case (g, p) => math.floor(totals(g) / p) }.min.toLong
+    val quota = targets.map { case (g, p) => g -> math.floor(p * n).toLong }
+    // per group: cum_tokens ≤ quota, strictly increasing, sums to max ≤ quota
+    got.groupBy(_._1).foreach { case (g, rows) =>
+      val cums = rows.sortBy(_._4).map(_._4)
+      assert(cums.last <= quota(g), s"group $g overshoots its token quota")
+      assert(cums.zip(cums.drop(1)).forall { case (a, b) => a < b })
+      // the NEXT doc in order would overshoot (selection is maximal): the
+      // kept token mass is within one doc of the quota by construction
+      assert(rows.map(_._3).sum == cums.last)
+    }
+    // partitioning invariance
+    val got11 = Curation.rebalanceMixTokens(docs.repartition(11), "source",
+      "doc_id", "text", targets, shards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got11 == got.toSet, "membership must not depend on partitioning")
+    // sharded two-phase cumsum == naive single global order per group
+    val naive = docs.select(col("source"), col("doc_id"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("long").as("n"),
+        Curation.hashBucket(col("doc_id"), 4).as("sh"),
+        Curation.hashBucket(col("doc_id"), Int.MaxValue).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        var c = 0L
+        rows.sortBy(r => (r._4, r._5, r._2)).toSeq.flatMap { r =>
+          c += r._3
+          if (c <= quota(g)) Some((g, r._2, r._3, c)) else None
+        }
+      }.toSet
+    assert(got.toSet == naive, "two-phase cumsum must equal the global order")
+  }
+
   private def strip(html: String): String =
     Seq((1L, html)).toDF("id", "t")
       .select(Curation.stripMarkup(col("t"))).as[String].head()

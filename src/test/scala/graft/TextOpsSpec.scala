@@ -365,4 +365,47 @@ class TextOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.collectLm(lm, maxEntries = 2L) }
     lm.release()
   }
+
+  test("gopherQuality: every Table-A1 rule fires on its hand-built fragment " +
+    "and the good document passes") {
+    import spark.implicits._
+    // 52 plain words with stopwords "the ... of ... and" — passes every rule
+    val good = (1 to 49).map(i => s"word$i").mkString(" ") + " the of and"
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short but the and of"),                        // < 50 words
+      (3L, (1 to 60).map(_ => "the").mkString(" ")),           // mean len 3 ok but…
+      (4L, good + " " + (1 to 20).map(_ => "#").mkString(" ")), // symbol ratio
+      (5L, good + "\n" + (1 to 30).map(i => s"- item$i").mkString("\n")), // bullets
+      (6L, good + "\n" + (1 to 30).map(i => s"line$i...").mkString("\n")), // ellipses
+      (7L, good + " " + (1 to 60).map(_ => "12345").mkString(" ")), // alpha frac
+      (8L, (1 to 60).map(i => s"word$i").mkString(" ")),       // no stopwords
+      (9L, ""))                                                 // empty
+      .toDF("doc_id", "text")
+    val g = docs.select(col("doc_id"), TextOps.gopherQuality(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getBoolean(8), "good doc must pass")
+    assert(!g(2L).getBoolean(8) && g(2L).getLong(1) < 50)
+    // doc 3: length/mean in range but only ONE distinct stopword → fails
+    assert(!g(3L).getBoolean(8) && g(3L).getLong(1) == 60 && g(3L).getInt(7) == 1)
+    assert(!g(4L).getBoolean(8) && g(4L).getDouble(3) > 0.1, "symbol ratio rule")
+    assert(!g(5L).getBoolean(8) && g(5L).getDouble(4) > 0.9, "bullet rule")
+    assert(!g(6L).getBoolean(8) && g(6L).getDouble(5) > 0.3, "ellipsis rule")
+    assert(!g(7L).getBoolean(8) && g(7L).getDouble(6) < 0.8, "alpha-word rule")
+    assert(!g(8L).getBoolean(8) && g(8L).getInt(7) == 0, "stopword rule")
+    assert(!g(9L).getBoolean(8) && g(9L).getLong(1) == 0 &&
+      g(9L).getDouble(2) == 0.0 && g(9L).getDouble(3) == 0.0, "empty doc zeros")
+    // hand-check the good doc's signals
+    val r1 = g(1L)
+    assert(r1.getLong(1) == 52)
+    assert(r1.getInt(7) == 3) // the, of, and
+    assert(r1.getDouble(6) == 1.0) // every word has a letter
+    // custom thresholds flip the verdict deterministically
+    val strict = docs.where(col("doc_id") === 1L)
+      .select(TextOps.gopherQuality(col("text"),
+        TextOps.GopherConfig(minWords = 100)).getField("pass"))
+      .as[Boolean].head()
+    assert(!strict)
+  }
 }
