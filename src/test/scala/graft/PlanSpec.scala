@@ -134,4 +134,30 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("user_id"), s"$q window plan: ${winLine.take(200)}")
     }
   }
+
+  test("rebalanceMixTokens: cumsum Windows partition by (group, shard) — " +
+    "never a per-group single task — and quota/offset joins broadcast") {
+    val plan = planOf(SparkEntry.queries("q_rebalance_tokens")(spark, sf))
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, plan.take(800))
+    // the doc-level cumsum partitions by BOTH source and the md5 shard
+    assert(winLines.exists(l => l.contains("source") && l.contains("__shard")),
+      s"doc cumsum must partition by (source, __shard): $winLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets (groups×shards) and quotas (policy-sized) must broadcast")
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("gopherQuality and stripMarkup are single-projection plans: no " +
+    "exchange, no UDF — pure codegen'd scans") {
+    Seq("q_gopher_quality", "q_strip_html").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      // only the presentation orderBy may exchange; no join/agg shuffles
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$q: row-local op must not shuffle beyond the " +
+        s"final presentation sort ($exchanges exchanges)")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$q must stay UDF-free")
+    }
+  }
 }
