@@ -805,6 +805,19 @@ object SparkEntry {
         .orderBy("source", "cum_tokens", "doc_id")
     }),
 
+    // Upsampling EPOCH plan (Pile/Dolma repetition): full epochs per group
+    // via a row-local sequence explode against the broadcast policy table,
+    // plus the md5-order prefix filling the remainder tokens as a partial
+    // epoch. The oracle replays quota arithmetic, generate_series epochs
+    // AND the prefix cumsum — epoch counts and partial membership are all
+    // hash-checked.
+    "q_epoch_plan" -> ((s, dir) => {
+      Curation.epochPlan(t(s, dir, "documents"), "source", "doc_id", "text",
+        Map("src0" -> 0.6, "src1" -> 0.2, "src2" -> 0.2),
+        maxEpochs = 3, shards = 8)
+        .orderBy("source", "epoch", "doc_id")
+    }),
+
     // ------------------------------------------------------- deduplication
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2147,6 +2160,51 @@ object SparkEntry {
         |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens
         |FROM cum c JOIN qs ON qs.source = c.source AND qs.q > 0 AND c.cum_tokens <= qs.q
         |ORDER BY c.source, c.cum_tokens, c.doc_id""".stripMargin,
+
+    "q_epoch_plan" ->
+      """WITH targets(source, p) AS (
+        |  VALUES ('src0', CAST(0.6 AS DOUBLE)), ('src1', CAST(0.2 AS DOUBLE)),
+        |         ('src2', CAST(0.2 AS DOUBLE))
+        |), base AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |      ELSE CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647 AS key
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |), tot AS (
+        |  SELECT source, SUM(n_tokens) AS t FROM base GROUP BY source
+        |), nn AS (
+        |  SELECT CAST(MIN(FLOOR(3.0 * COALESCE(tot.t, 0) / targets.p)) AS BIGINT) AS n
+        |  FROM targets LEFT JOIN tot USING (source)
+        |), ep AS (
+        |  SELECT t.source,
+        |    CASE WHEN COALESCE(tot.t, 0) = 0 THEN 0
+        |      ELSE CAST(FLOOR(t.p * nn.n) AS BIGINT) // tot.t END AS e,
+        |    CAST(FLOOR(t.p * nn.n) AS BIGINT)
+        |      - (CASE WHEN COALESCE(tot.t, 0) = 0 THEN 0
+        |           ELSE CAST(FLOOR(t.p * nn.n) AS BIGINT) // tot.t END)
+        |        * COALESCE(tot.t, 0) AS rem
+        |  FROM targets t CROSS JOIN nn LEFT JOIN tot ON tot.source = t.source
+        |), live AS (
+        |  SELECT * FROM ep WHERE e > 0 OR rem > 0
+        |), fulls AS (
+        |  SELECT b.source, b.doc_id, b.n_tokens,
+        |    CAST(unnest(generate_series(CAST(1 AS BIGINT), CAST(e.e AS BIGINT))) AS BIGINT) AS epoch
+        |  FROM base b JOIN live e USING (source) WHERE e.e >= 1
+        |), cum AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY shard, key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM base
+        |), partial AS (
+        |  SELECT c.source, c.doc_id, c.n_tokens, e.e + 1 AS epoch
+        |  FROM cum c JOIN live e USING (source) WHERE c.cum_tokens <= e.rem
+        |)
+        |SELECT source, doc_id, n_tokens, epoch FROM fulls
+        |UNION ALL
+        |SELECT source, doc_id, n_tokens, epoch FROM partial
+        |ORDER BY source, epoch, doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH all_docs AS (

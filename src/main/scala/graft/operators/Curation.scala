@@ -348,6 +348,21 @@ object Curation {
     if (qs.isEmpty)
       return base.select(col(groupCol), col(idCol), col("n_tokens"))
         .withColumn("cum_tokens", lit(0L)).limit(0)
+    val qDf = broadcast(qs.toSeq.toDF(groupCol, "__q"))
+    withCumTokens(base, groupCol, idCol)
+      .join(qDf, Seq(groupCol))
+      .where(col("cum_tokens") <= col("__q"))
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** The two-phase sharded cumulative token sum shared by
+    * [[rebalanceMixTokens]] and [[epochPlan]]: expects (groupCol, idCol,
+    * n_tokens, __shard, __key) rows, appends `cum_tokens` = running sum in
+    * (shard, key, id) order per group. Shard subtotals (|groups|·shards
+    * rows) window into per-shard offsets; the per-doc Window partitions by
+    * (group, shard) — bounded, parallel. */
+  private def withCumTokens(base: DataFrame, groupCol: String,
+                            idCol: String): DataFrame = {
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__shard"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -359,14 +374,78 @@ object Curation {
       .partitionBy(col(groupCol), col("__shard"))
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val qDf = broadcast(qs.toSeq.toDF(groupCol, "__q"))
     base
       .withColumn("__within", sum(col("n_tokens")).over(wCum))
       .join(broadcast(offsets), Seq(groupCol, "__shard"))
       .withColumn("cum_tokens", col("__offset") + col("__within"))
-      .join(qDf, Seq(groupCol))
-      .where(col("cum_tokens") <= col("__q"))
-      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /**
+   * Deterministic UPSAMPLING plan to a target mix (the complement of
+   * [[rebalanceMixTokens]]'s downsample): when a target share exceeds what
+   * a group can supply in one pass, Pile/Dolma repeat the group for
+   * multiple EPOCHS. With per-group token mass T_g, target p_g and an
+   * `maxEpochs` repetition cap E, the plan realizes the largest total
+   * budget every group can supply within the cap —
+   * N = min_g floor(E · T_g / p_g), quota q_g = floor(p_g · N) — as
+   * e_g = floor(q_g / T_g) FULL epochs of group g plus a partial epoch:
+   * the deterministic (md5-shard, md5-key, id)-order prefix whose
+   * cumulative tokens fit the remainder q_g − e_g·T_g.
+   *
+   * Returns one row per (doc, epoch): (groupCol, idCol, n_tokens, epoch)
+   * with epoch ∈ [1, e_g] for full epochs and e_g + 1 for the partial
+   * prefix — the materialized sampling plan a training run replays
+   * verbatim. Determinism contract as everywhere in this family:
+   * membership and epoch counts are pure functions of ids, token counts
+   * and the policy. Scale shape: the full-epoch side is a row-local
+   * explode of a ≤ E element sequence against a broadcast (group → e_g)
+   * table; the partial side reuses the two-phase sharded cumsum; shuffles
+   * carry (group, id, n_tokens) only.
+   */
+  def epochPlan(df: DataFrame, groupCol: String, idCol: String,
+                textCol: String, targets: Map[String, Double],
+                maxEpochs: Int = 4, shards: Int = 64): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val pos = targets.filter(_._2 > 0)
+    require(pos.nonEmpty, "epochPlan: no positive target proportions")
+    require(pos.values.forall(p => !p.isNaN && !p.isInfinite),
+      "epochPlan: non-finite target proportion")
+    require(pos.values.sum <= 1.0 + 1e-9,
+      s"epochPlan: target proportions sum to ${pos.values.sum} > 1")
+    val base = df.where(col(groupCol).isin(pos.keys.toSeq: _*))
+      .select(col(groupCol), col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        hashBucket(col(idCol), shards).as("__shard"),
+        hashBucket(col(idCol), Int.MaxValue).as("__key"))
+    val totals = base.groupBy(col(groupCol)).agg(sum("n_tokens").as("__t"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val n = pos.keys
+      .map(g => math.floor(maxEpochs.toDouble * totals.getOrElse(g, 0L) / pos(g)))
+      .min.toLong
+    // per group: quota, full epochs, remainder tokens for the partial epoch
+    val plan = pos.keys.toSeq.map { g =>
+      val q = math.floor(pos(g) * n).toLong
+      val t = totals.getOrElse(g, 0L)
+      val e = if (t == 0L) 0L else q / t
+      (g, e, q - e * t)
+    }.filter { case (_, e, rem) => e > 0 || rem > 0 }
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (plan.isEmpty)
+      return base.select(col(groupCol), col(idCol), col("n_tokens"))
+        .withColumn("epoch", lit(1L)).limit(0)
+    val planDf = broadcast(plan.toDF(groupCol, "__e", "__rem"))
+    val joined = base.join(planDf, Seq(groupCol))
+    val fullEpochs = joined
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        explode(when(col("__e") >= 1, sequence(lit(1L), col("__e")))
+          .otherwise(array().cast("array<long>"))).as("epoch"))
+    val partial = withCumTokens(joined, groupCol, idCol)
+      .where(col("cum_tokens") <= col("__rem"))
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        (col("__e") + 1L).as("epoch"))
+    fullEpochs.unionByName(partial)
   }
 
   /**

@@ -359,6 +359,54 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSet == naive, "two-phase cumsum must equal the global order")
   }
 
+  test("epochPlan: full epochs repeat every doc, the partial epoch is the " +
+    "md5-order token prefix of the remainder, totals realize the largest " +
+    "budget under the epoch cap, and the plan is deterministic") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 200L).map { i =>
+      // s0 is token-poor (needs upsampling), s1 token-rich
+      val g = if (i % 4 == 0) "s0" else "s1"
+      val words = 1 + rnd.nextInt(if (g == "s0") 10 else 40)
+      (i, g, (0 until words).map(w => s"w$w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val targets = Map("s0" -> 0.5, "s1" -> 0.5)
+    val maxE = 3
+    val got = Curation.epochPlan(docs, "source", "doc_id", "text", targets,
+      maxEpochs = maxE, shards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totals = docs.groupBy("source")
+      .agg(sum(graft.operators.TextOps.tokenCount(col("text")).cast("long")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = targets.map { case (g, p) => math.floor(maxE * totals(g) / p) }.min.toLong
+    val nDocs = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.keys.foreach { g =>
+      val q = math.floor(targets(g) * n).toLong
+      val e = q / totals(g)
+      val rows = got.filter(_._1 == g)
+      assert(e <= maxE)
+      // epochs 1..e contain EVERY doc of the group
+      (1L to e).foreach { ep =>
+        assert(rows.count(_._4 == ep) == nDocs(g), s"$g epoch $ep incomplete")
+      }
+      // the partial epoch never overshoots the remainder, and total selected
+      // tokens land within one doc of the quota
+      val partialToks = rows.filter(_._4 == e + 1).map(_._3).sum
+      assert(partialToks <= q - e * totals(g))
+      val totalToks = rows.map(_._3).sum
+      assert(totalToks <= q && q - totalToks < 400, // < one max-size doc
+        s"$g: selected $totalToks of quota $q")
+      assert(rows.forall(_._4 <= e + 1))
+    }
+    // the token-poor group is actually upsampled (≥ 2 full epochs)
+    assert(got.filter(_._1 == "s0").map(_._4).max >= 2)
+    // determinism under repartitioning
+    val again = Curation.epochPlan(docs.repartition(13), "source", "doc_id",
+      "text", targets, maxEpochs = maxE, shards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == got.toSet)
+  }
+
   private def strip(html: String): String =
     Seq((1L, html)).toDF("id", "t")
       .select(Curation.stripMarkup(col("t"))).as[String].head()
