@@ -1402,9 +1402,8 @@ object SparkEntry {
 
     "q_gopher_quality" -> {
       val T = graft.operators.TextOps
-      val stopSum = T.gopherStopwords.map(w =>
-        s"CASE WHEN regexp_matches(t, '(?i)\\b$w\\b') THEN 1 ELSE 0 END")
-        .mkString("(", " + ", ")")
+      val stopSum =
+        s"len(list_distinct(regexp_extract_all(lower(t), '${T.gopherStopwordPattern}')))"
       s"""WITH synth AS (
          |  SELECT doc_id,
          |    (CASE WHEN doc_id % 3 = 0 THEN concat_ws(' ', text, text, text)

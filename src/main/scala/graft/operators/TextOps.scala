@@ -114,6 +114,13 @@ object TextOps {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** All required stopwords as ONE alternation — the n_stopwords signal is
+    * a single extract-all + distinct-count pass instead of |stopwords| full
+    * `rlike` scans (a word ABSENT from the document costs a full scan per
+    * rlike; the combined pass costs one). */
+  val gopherStopwordPattern: String =
+    "(?i)\\b(?:" + gopherStopwords.mkString("|") + ")\\b"
+
   /** Thresholds from arXiv:2112.11446 Table A1 (defaults = the paper's). */
   final case class GopherConfig(
       minWords: Int = 50, maxWords: Int = 100000,
@@ -147,9 +154,9 @@ object TextOps {
       lit(gopherEllipsisLinePattern), lit(0))).cast("double") / greatest(nLines, lit(1.0))
     val alphaFrac = size(regexp_extract_all(text,
       lit(gopherAlphaWordPattern), lit(0))).cast("double") / safeW
-    val nStop = gopherStopwords.map(w =>
-        when(text.rlike("(?i)\\b" + w + "\\b"), 1).otherwise(0))
-      .reduce(_ + _).cast("int")
+    val nStop = size(array_distinct(
+      regexp_extract_all(lower(text), lit(gopherStopwordPattern), lit(0))))
+      .cast("int")
     val pass = nWords >= cfg.minWords && nWords <= cfg.maxWords &&
       meanLen >= cfg.minMeanWordLen && meanLen <= cfg.maxMeanWordLen &&
       symbolRatio <= cfg.maxSymbolWordRatio &&
