@@ -41,7 +41,8 @@ object Bench {
     "q_lm_perplexity", "q_remove_boilerplate", "q_decontaminate_bloom",
     "q_mix_report", "q_rebalance_mix", "q_repeated_spans", "q_cut_spans",
     "q_within_doc_spans", "q_cut_spans_within", "q_bpe_tokenize_bytes",
-    "q_strip_html", "q_gopher_quality", "q_rebalance_tokens", "q_epoch_plan")
+    "q_strip_html", "q_gopher_quality", "q_rebalance_tokens", "q_epoch_plan",
+    "q_quality_classifier")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

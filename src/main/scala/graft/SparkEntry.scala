@@ -624,6 +624,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Model-based quality classifier (the GPT-3 Wikipedia-vs-crawl filter
+    // shape, arXiv:2005.14165 app. A): hashed uni+bigram features,
+    // distributed full-batch logistic regression (one aggregate per
+    // iteration, D-bounded collect), row-local broadcast scoring. Trained
+    // here against each document's deterministic noise twin (reversed
+    // text — different tokens, same length statistics). Rows-only: the
+    // learned FP weight vector has no exact SQL twin (gradient sums are
+    // partition-order FP accumulations) — ClassifierSpec is the gate; the
+    // per-row `separated` flag makes a broken model flip visible rows.
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val train = docs.where(col("doc_id") < 300)
+        .select(col("text"), lit(1.0).as("label"))
+        .unionByName(docs.where(col("doc_id") < 300)
+          .select(reverse(col("text")).as("text"), lit(0.0).as("label")))
+      val model = graft.ml.Classifier.train(train, "text", "label",
+        dims = 1024, iters = 12, lr = 12.0)
+      docs.select(col("doc_id"),
+          round(graft.ml.Classifier.scoreColumn(col("text"), model, s), 4)
+            .as("quality"),
+          round(graft.ml.Classifier.scoreColumn(reverse(col("text")), model, s), 4)
+            .as("noise_score"))
+        .withColumn("separated", col("quality") > col("noise_score"))
+        .orderBy("doc_id")
+    }),
+
     // BYTE-LEVEL learned BPE (GPT-2-style byte alphabet): words symbolize as
     // UTF-8 bytes via the fixed 256-symbol table, so the id stream NEVER
     // contains <unk> — emoji / rare scripts keep full fidelity (the
