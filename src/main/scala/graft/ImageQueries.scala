@@ -68,6 +68,33 @@ object ImageQueries {
         .orderBy("image_id")
     }),
 
+    // Deterministic training-data augmentation: each image explodes into
+    // flip / rotate / center-crop / seeded-crop variants (the multiplier a
+    // vision training pipeline applies before feature extraction). Variant
+    // geometry and per-variant phash ride in the rows, so a broken kernel
+    // changes visible output; the seeded crop keys on image_id — exactly
+    // reproducible run-to-run (ImagingSpec pins the kernels pixel-level).
+    "q_image_augment" -> ((s, dir) => {
+      val images = Synth.imageTable(s, nFor(dir))
+      images
+        .withColumn("img", decode_image(col("bytes")))
+        .where(col("img").isNotNull)
+        .select(col("image_id"), explode(array(
+          struct(lit("orig").as("variant"), col("img").as("v")),
+          struct(lit("flip_h").as("variant"), img_flip_h(col("img")).as("v")),
+          struct(lit("rot90").as("variant"),
+            img_rotate90(col("img"), lit(1)).as("v")),
+          struct(lit("center_crop").as("variant"),
+            img_center_crop(col("img"), lit(64), lit(64)).as("v")),
+          struct(lit("seeded_crop").as("variant"),
+            img_seeded_crop(col("img"), lit(64), lit(64),
+              xxhash64(col("image_id"))).as("v")))).as("a"))
+        .select(col("image_id"), col("a.variant").as("variant"),
+          col("a.v.w").as("w"), col("a.v.h").as("h"),
+          phash64(col("a.v")).as("phash"))
+        .orderBy("image_id", "variant")
+    }),
+
     // Flagship end-to-end: decode→extract→VLAD→PCA→PQ with as-of-bound models.
     "q_image_pipeline" -> ((s, dir) => {
       pipeline(s, dir).features

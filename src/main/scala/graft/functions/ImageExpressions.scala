@@ -118,6 +118,79 @@ object ImageExpressions {
       copy(left = l, right = r)
   }
 
+  // --- augmentation (deterministic training-data variants) -------------------
+
+  def flipRow(img: InternalRow): InternalRow =
+    rasterToRow(Imaging.flipHorizontal(rowToRaster(img)))
+  def rotateRow(img: InternalRow, times: Int): InternalRow =
+    rasterToRow(Imaging.rotate90(rowToRaster(img), times))
+  def centerCropRow(img: InternalRow, w: Int, h: Int): InternalRow =
+    rasterToRow(Imaging.centerCrop(rowToRaster(img), w, h))
+  def seededCropRow(img: InternalRow, w: Int, h: Int, seed: Long): InternalRow =
+    rasterToRow(Imaging.seededCrop(rowToRaster(img), w, h, seed))
+
+  case class ImgFlipH(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = imageStruct
+    override def prettyName: String = "img_flip_h"
+    override def nullSafeEval(img: Any): Any =
+      ImageExpressions.flipRow(img.asInstanceOf[InternalRow])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, img => s"${ev.value} = $cls.flipRow($img);")
+    }
+    override protected def withNewChildInternal(c: Expression): ImgFlipH = copy(c)
+  }
+
+  case class ImgRotate90(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = imageStruct
+    override def prettyName: String = "img_rotate90"
+    override def nullSafeEval(img: Any, t: Any): Any =
+      ImageExpressions.rotateRow(img.asInstanceOf[InternalRow],
+        t.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (img, t) => s"${ev.value} = $cls.rotateRow($img, $t);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ImgRotate90 =
+      copy(left = l, right = r)
+  }
+
+  case class ImgCenterCrop(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = imageStruct
+    override def prettyName: String = "img_center_crop"
+    override def nullSafeEval(img: Any, w: Any, h: Any): Any =
+      ImageExpressions.centerCropRow(img.asInstanceOf[InternalRow],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (img, w, h) =>
+        s"${ev.value} = $cls.centerCropRow($img, $w, $h);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ImgCenterCrop =
+      copy(first = f, second = s, third = t)
+  }
+
+  case class ImgSeededCrop(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+      extends QuaternaryExpression {
+    override def dataType: DataType = imageStruct
+    override def prettyName: String = "img_seeded_crop"
+    override def nullSafeEval(img: Any, w: Any, h: Any, seed: Any): Any =
+      ImageExpressions.seededCropRow(img.asInstanceOf[InternalRow],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], seed.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (img, w, h, seed) =>
+        s"${ev.value} = $cls.seededCropRow($img, $w, $h, $seed);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): ImgSeededCrop =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
   // --- Column API ------------------------------------------------------------
 
   def decode_image(bytes: Column): Column =
@@ -130,6 +203,18 @@ object ImageExpressions {
   def img_psnr(a: Column, b: Column): Column =
     GraftBridge.column(ImgPsnr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+  def img_flip_h(img: Column): Column =
+    GraftBridge.column(ImgFlipH(GraftBridge.expression(img)))
+  def img_rotate90(img: Column, times: Column): Column =
+    GraftBridge.column(ImgRotate90(
+      GraftBridge.expression(img), GraftBridge.expression(times)))
+  def img_center_crop(img: Column, w: Column, h: Column): Column =
+    GraftBridge.column(ImgCenterCrop(GraftBridge.expression(img),
+      GraftBridge.expression(w), GraftBridge.expression(h)))
+  def img_seeded_crop(img: Column, w: Column, h: Column, seed: Column): Column =
+    GraftBridge.column(ImgSeededCrop(GraftBridge.expression(img),
+      GraftBridge.expression(w), GraftBridge.expression(h),
+      GraftBridge.expression(seed)))
 
   /** Register the expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -138,5 +223,11 @@ object ImageExpressions {
     reg.createOrReplaceTempFunction("scale_max_pixels", e => ScaleMaxPixels(e.head, e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("phash64", e => PHash64(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("img_psnr", e => ImgPsnr(e.head, e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("img_flip_h", e => ImgFlipH(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("img_rotate90", e => ImgRotate90(e.head, e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("img_center_crop",
+      e => ImgCenterCrop(e.head, e(1), e(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("img_seeded_crop",
+      e => ImgSeededCrop(e.head, e(1), e(2), e(3)), "scala_udf")
   }
 }

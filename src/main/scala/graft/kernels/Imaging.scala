@@ -391,6 +391,89 @@ object Imaging {
     Raster(r.w, r.h, out)
   }
 
+  // ------------------------------------------------------------ augmentation
+  // Deterministic training-data augmentation kernels (vision pipelines
+  // multiply each image into flip/rotate/crop variants before feature
+  // extraction / contrastive training). All pure functions — "random" crop
+  // offsets derive from a hash of an explicit seed, so an augmented corpus
+  // is exactly reproducible run-to-run and partition-to-partition, the same
+  // determinism contract as the curation md5 sampling.
+
+  /** Horizontal mirror (left↔right). Self-inverse. */
+  def flipHorizontal(r: Raster): Raster = {
+    val out = new Array[Int](r.pixels.length)
+    var y = 0
+    while (y < r.h) {
+      var x = 0
+      val row = y * r.w
+      while (x < r.w) {
+        out(row + x) = r.pixels(row + (r.w - 1 - x))
+        x += 1
+      }
+      y += 1
+    }
+    Raster(r.w, r.h, out)
+  }
+
+  /** Rotate clockwise by 90° × `times` (times taken mod 4; negative allowed).
+    * One clockwise step maps source (x, y) → dest (h − 1 − y, x). */
+  def rotate90(r: Raster, times: Int): Raster = {
+    val t = java.lang.Math.floorMod(times, 4)
+    if (t == 0) return r
+    var cur = r
+    var i = 0
+    while (i < t) {
+      val out = new Array[Int](cur.pixels.length)
+      val (w, h) = (cur.w, cur.h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // dest width = h; dest(x', y') with x' = h−1−y, y' = x
+          out(x * h + (h - 1 - y)) = cur.pixels(y * w + x)
+          x += 1
+        }
+        y += 1
+      }
+      cur = Raster(h, w, out)
+      i += 1
+    }
+    cur
+  }
+
+  /** Centered crop to (cw, ch), clamped to the source size. */
+  def centerCrop(r: Raster, cw: Int, ch: Int): Raster = {
+    val w = math.max(1, math.min(cw, r.w))
+    val h = math.max(1, math.min(ch, r.h))
+    cropAt(r, (r.w - w) / 2, (r.h - h) / 2, w, h)
+  }
+
+  /** Deterministic "random" crop: the offset is a pure function of `seed`
+    * (splitmix64 finalizer), so the same (image, seed) always yields the
+    * same crop — reproducible augmentation, no task-order dependence. */
+  def seededCrop(r: Raster, cw: Int, ch: Int, seed: Long): Raster = {
+    val w = math.max(1, math.min(cw, r.w))
+    val h = math.max(1, math.min(ch, r.h))
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    val x0 = if (r.w == w) 0 else java.lang.Math.floorMod(z, (r.w - w + 1).toLong).toInt
+    val y0 = if (r.h == h) 0
+      else java.lang.Math.floorMod(z >>> 32, (r.h - h + 1).toLong).toInt
+    cropAt(r, x0, y0, w, h)
+  }
+
+  private def cropAt(r: Raster, x0: Int, y0: Int, w: Int, h: Int): Raster = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(r.pixels, (y0 + y) * r.w + x0, out, y * w, w)
+      y += 1
+    }
+    Raster(w, h, out)
+  }
+
   /** Flat single-color raster — the zero-keypoint edge row (FIXTURES.md §1). */
   def uniformRaster(w: Int, h: Int, rgb: Int): Raster =
     Raster(w, h, Array.fill(w * h)(rgb & 0xffffff))

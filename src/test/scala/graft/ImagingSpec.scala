@@ -177,6 +177,86 @@ class ImagingSpec extends AnyFunSuite {
     }
   }
 
+  test("augmentation kernels: flip is a self-inverse mirror, rotate90 maps " +
+    "(x,y)→(h−1−y,x) and is 4-periodic, crops are exact sub-rasters and the " +
+    "seeded crop is a pure function of the seed") {
+    val r = Imaging.syntheticRaster(7L, 3L, 20, 12)
+    def px(a: Imaging.Raster, x: Int, y: Int): Int = a.pixels(y * a.w + x)
+    // flip: mirror + self-inverse
+    val f = Imaging.flipHorizontal(r)
+    assert(f.w == r.w && f.h == r.h)
+    (0 until r.h).foreach(y => (0 until r.w).foreach(x =>
+      assert(px(f, x, y) == px(r, r.w - 1 - x, y))))
+    assert(Imaging.flipHorizontal(f).pixels.sameElements(r.pixels))
+    // rotate: dims swap, exact mapping, period 4, negative == mod 4
+    val r1 = Imaging.rotate90(r, 1)
+    assert(r1.w == r.h && r1.h == r.w)
+    (0 until r.h).foreach(y => (0 until r.w).foreach(x =>
+      assert(px(r1, r.h - 1 - y, x) == px(r, x, y))))
+    assert(Imaging.rotate90(r, 4).pixels.sameElements(r.pixels))
+    assert(Imaging.rotate90(r, -1).pixels.sameElements(Imaging.rotate90(r, 3).pixels))
+    // center crop: exact sub-raster, clamped when larger than the source
+    val c = Imaging.centerCrop(r, 10, 6)
+    assert(c.w == 10 && c.h == 6)
+    (0 until 6).foreach(y => (0 until 10).foreach(x =>
+      assert(px(c, x, y) == px(r, 5 + x, 3 + y))))
+    val big = Imaging.centerCrop(r, 999, 999)
+    assert(big.w == r.w && big.h == r.h && big.pixels.sameElements(r.pixels))
+    // seeded crop: in-bounds sub-raster, deterministic per seed
+    val s1 = Imaging.seededCrop(r, 8, 8, seed = 5L)
+    val s2 = Imaging.seededCrop(r, 8, 8, seed = 5L)
+    assert(s1.w == 8 && s1.h == 8 && s1.pixels.sameElements(s2.pixels))
+    // every seeded crop is an exact sub-raster of the source (recover its
+    // offset by scanning all positions)
+    (0L until 8L).foreach { s =>
+      val cr = Imaging.seededCrop(r, 8, 8, s)
+      val found = (0 to r.w - 8).exists(x0 => (0 to r.h - 8).exists(y0 =>
+        (0 until 8).forall(y => (0 until 8).forall(xx =>
+          px(cr, xx, y) == px(r, x0 + xx, y0 + y)))))
+      assert(found, s"seed $s crop is not a sub-raster")
+    }
+    // different seeds reach different offsets (not a constant crop)
+    val distinct = (0L until 32L).map(s =>
+      Imaging.seededCrop(r, 8, 8, s).pixels.toSeq).distinct.size
+    assert(distinct > 4, s"seeded crops should vary across seeds, got $distinct")
+  }
+
+  test("augmentation expressions: struct-level flip/rotate/crop agree with " +
+    "the kernels through the codegen path") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.ImageExpressions._
+    val bytes = Imaging.encodePng(Imaging.syntheticRaster(9L, 1L, 24, 16))
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, bytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType))))
+    val out = df.select(
+        decode_image(col("bytes")).as("img"))
+      .select(
+        col("img.w").as("w0"), col("img.h").as("h0"),
+        img_flip_h(col("img")).as("f"),
+        img_rotate90(col("img"), lit(1)).as("r1"),
+        img_center_crop(col("img"), lit(10), lit(6)).as("cc"),
+        img_seeded_crop(col("img"), lit(8), lit(8), lit(5L)).as("sc"))
+      .selectExpr("w0", "h0", "f.w", "f.h", "r1.w", "r1.h", "cc.w", "cc.h",
+        "sc.w", "sc.h", "f.pixels AS fp", "sc.pixels AS scp")
+      .head()
+    assert(out.getInt(0) == 24 && out.getInt(1) == 16)
+    assert(out.getInt(2) == 24 && out.getInt(3) == 16) // flip keeps dims
+    assert(out.getInt(4) == 16 && out.getInt(5) == 24) // rotate swaps dims
+    assert(out.getInt(6) == 10 && out.getInt(7) == 6)
+    assert(out.getInt(8) == 8 && out.getInt(9) == 8)
+    val decoded = Imaging.decode(bytes).get
+    assert(out.getSeq[Int](10) ==
+      Imaging.flipHorizontal(decoded).pixels.toSeq)
+    assert(out.getSeq[Int](11) ==
+      Imaging.seededCrop(decoded, 8, 8, 5L).pixels.toSeq)
+  }
+
   test("SurfLiteExtractor: deterministic 64-d unit-norm descriptors on structured image") {
     val ex = SurfLiteExtractor(detectThreshold = 1.0)
     val big = Imaging.syntheticRaster(42L, 3L, 200, 150)
