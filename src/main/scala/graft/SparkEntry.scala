@@ -597,6 +597,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail perplexity buckets (Wenzek et al. §4.3):
+    // EXACT rank terciles under (cross_entropy, doc_id) — order statistics,
+    // not interpolated percentiles, so membership replays exactly; rank via
+    // range-partitioned sort + zipWithIndex (never a global Window). The
+    // oracle replays LM train + score + ROW_NUMBER ranking end-to-end.
+    "q_perplexity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val lm = TextOps.bigramLm(docs, "text", k = 0.1)
+      TextOps.perplexityBucketsWith(docs, "doc_id", "text", lm) { b =>
+        b.select(col("doc_id"), col("n_bigrams"),
+            round(col("cross_entropy"), 6).as("cross_entropy"),
+            col("bucket_id"), col("bucket"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      }
+    }),
+
     // Learned BPE tokenization end-to-end: distributed word-count aggregate →
     // bounded driver-side merge learning (graft.ml.Bpe) → merges.txt-style
     // serialize/parse round trip (the artifact a pipeline reuses across jobs)
@@ -1975,6 +1993,49 @@ object SparkEntry {
         |FROM bg b LEFT JOIN c12 ON b.bg = c12.bg
         |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // CCNet head/middle/tail buckets: the q_lm_perplexity replay plus an
+    // exact-rank tercile layer. Rank is ROW_NUMBER under (raw cross_entropy,
+    // doc_id) — raw values across engines differ only at ~1e-15 relative,
+    // far below any spacing between DISTINCT documents' cross-entropies,
+    // and exact-duplicate texts tie identically in both engines (doc_id
+    // breaks). bucket_id = min(floor(rank*3/n), 2): rank*3 and n are exact
+    // in double, so the division rounds identically in both engines.
+    "q_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] for i in range(1, len(t))]) AS w1,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM toks
+        |), c12 AS (
+        |  SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg
+        |), c1 AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+        |), v AS (
+        |  SELECT COUNT(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM toks)
+        |), scored AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    -SUM(CASE WHEN c1.c1 IS NULL THEN LN(1.0 / v.v)
+        |      ELSE LN((COALESCE(c12.c12, 0) + 0.1) / (c1.c1 + 0.1 * v.v)) END)
+        |      / COUNT(*) AS ce
+        |  FROM bg b LEFT JOIN c12 ON b.bg = c12.bg
+        |    LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v
+        |  GROUP BY b.doc_id
+        |), ranked AS (
+        |  SELECT doc_id, n_bigrams, ce,
+        |    ROW_NUMBER() OVER (ORDER BY ce, doc_id) - 1 AS rnk,
+        |    COUNT(*) OVER () AS n
+        |  FROM scored
+        |)
+        |SELECT doc_id, n_bigrams, ROUND(ce, 6) AS cross_entropy,
+        |  CAST(LEAST(FLOOR(rnk * 3 / CAST(n AS DOUBLE)), 2) AS INT) AS bucket_id,
+        |  CASE CAST(LEAST(FLOOR(rnk * 3 / CAST(n AS DOUBLE)), 2) AS INT)
+        |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
 
     // Boilerplate-line removal replayed by line CONTENT (Spark groups by the
     // dual xxhash64/sha2 fingerprint — a collision or hashing bug produces a

@@ -427,6 +427,70 @@ object TextOps {
     graft.functions.LmExpressions.LocalLm(c12, c1, model.vocabSize, model.k)
   }
 
+  /**
+   * CCNet-style perplexity BUCKETS (Wenzek et al. 2019, arXiv:1911.00359
+   * §4.3: corpora split into head / middle / tail by LM-perplexity
+   * quantile; training mixes then sample by bucket). Cutoffs are EXACT
+   * rank terciles under the total order (cross_entropy, id) — order
+   * statistics, not interpolated percentiles, so bucket membership is a
+   * pure function of the data and replays exactly in any engine (an
+   * interpolated cutoff is FP-fragile at bucket borders). Rank uses the
+   * [[vocabulary]] machinery: range-partitioned global sort + zipWithIndex
+   * — distributed, never a single-task Window. The scored stage is
+   * persisted (it feeds the count and the sort); release via the returned
+   * [[StagedResult]] after materializing.
+   *
+   * Returns (idCol, n_bigrams, cross_entropy, bucket_id ∈ [0, buckets),
+   * bucket — "head"/"middle"/"tail" for buckets = 3, else "b<i>").
+   * Documents with < 2 tokens have no score and are absent ([[lmScore]]'s
+   * contract).
+   */
+  def perplexityBucketsStaged(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, model: BigramLm,
+      buckets: Int = 3): StagedResult = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = docs.sparkSession
+    val scored = lmScore(docs, idCol, textCol, model)
+      .select(col(idCol), col("n_bigrams"), col("cross_entropy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = scored.count()
+    val sorted = scored.orderBy(col("cross_entropy"), col(idCol))
+    val schema = sorted.schema.add("__rank",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    val names: Column =
+      if (buckets == 3)
+        when(col("bucket_id") === 0, "head")
+          .when(col("bucket_id") === 1, "middle").otherwise("tail")
+      else concat(lit("b"), col("bucket_id").cast("string"))
+    val out = ranked
+      .withColumn("bucket_id",
+        least(floor(col("__rank") * buckets / math.max(1L, n)),
+          lit((buckets - 1).toLong)).cast("int"))
+      .withColumn("bucket", names)
+      .drop("__rank")
+    new StagedResult(out, scored)
+  }
+
+  /** Fire-and-forget convenience over [[perplexityBucketsStaged]] (the
+    * tfidf caveat: long-lived sessions should release the stage). */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, model: BigramLm, buckets: Int = 3)
+      : org.apache.spark.sql.DataFrame =
+    perplexityBucketsStaged(docs, idCol, textCol, model, buckets).df
+
+  /** Scoped variant: `use` must MATERIALIZE its result (write / collect /
+    * eager checkpoint) — the stage is released when it returns. */
+  def perplexityBucketsWith[T](docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, model: BigramLm, buckets: Int = 3)(
+      use: org.apache.spark.sql.DataFrame => T): T = {
+    val staged = perplexityBucketsStaged(docs, idCol, textCol, model, buckets)
+    try use(staged.df) finally staged.release()
+  }
+
   /** Row-local cross-entropy under a broadcast [[collectLm]] model — the
     * streaming-safe twin of [[lmScore]] (same arithmetic term-by-term;
     * summation order may differ by ~1e-12). NULL for documents with < 2

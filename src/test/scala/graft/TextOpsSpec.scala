@@ -366,6 +366,50 @@ class TextOpsSpec extends AnyFunSuite {
     lm.release()
   }
 
+  test("perplexityBuckets: exact rank terciles match a driver-side replay, " +
+    "duplicate texts tie on id, custom bucket count, release seam") {
+    val train = Seq((1L, "a b a b c a b"), (2L, "b c a")).toDF("doc_id", "text")
+    val lm = TextOps.bigramLm(train, "text", k = 0.1)
+    // 8 scored docs spanning seen / part-seen / unseen-prefix content; 20/21
+    // are exact duplicates (identical CE → rank tie must break by doc_id);
+    // 30 is bigram-less and must be absent
+    val docs = Seq(
+      (10L, "a b a b"), (11L, "a b c"), (12L, "b c a b"), (13L, "c a b z"),
+      (14L, "z q y x"), (15L, "q q q"), (20L, "x y z"), (21L, "x y z"),
+      (30L, "a")).toDF("doc_id", "text")
+    val got = TextOps.perplexityBuckets(docs, "doc_id", "text", lm)
+      .select("doc_id", "cross_entropy", "bucket_id", "bucket")
+      .as[(Long, Double, Int, String)].collect()
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L, 13L, 14L, 15L, 20L, 21L))
+    // driver-side replay: sort by (ce, id), bucket = min(floor(rank*3/n), 2)
+    val n = got.length
+    val expected = got.sortBy(r => (r._2, r._1)).zipWithIndex.map {
+      case (r, rank) => r._1 -> math.min(rank * 3 / n, 2)
+    }.toMap
+    got.foreach { case (id, _, b, name) =>
+      assert(b == expected(id), s"doc $id bucket")
+      assert(name == Seq("head", "middle", "tail")(b), s"doc $id name")
+    }
+    // duplicates 20/21: identical CE, adjacent ranks in id order
+    val ce = got.map(r => r._1 -> r._2).toMap
+    assert(ce(20L) == ce(21L))
+    // custom bucket count uses b<i> names and covers [0, buckets)
+    val got4 = TextOps.perplexityBuckets(docs, "doc_id", "text", lm, buckets = 4)
+      .select("bucket_id", "bucket").as[(Int, String)].collect()
+    assert(got4.forall { case (b, name) => b >= 0 && b < 4 && name == s"b$b" })
+    // scoped variant releases the scored stage (async unpersist)
+    def cachedIds() = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds()
+    TextOps.perplexityBucketsWith(docs, "doc_id", "text", lm) { b =>
+      assert(b.count() == 8)
+    }
+    val deadline = System.nanoTime() + 10e9.toLong
+    while ((cachedIds() -- before).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert((cachedIds() -- before).isEmpty, "scored stage still cached")
+    lm.release()
+  }
+
   test("gopherQuality: every Table-A1 rule fires on its hand-built fragment " +
     "and the good document passes") {
     import spark.implicits._
