@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Curation, Dedup, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Dsir, Similarity, TextOps}
 import graft.temporal.Temporal
 
 /**
@@ -861,6 +861,28 @@ object SparkEntry {
         Map("src0" -> 0.6, "src1" -> 0.2, "src2" -> 0.2),
         maxEpochs = 3, shards = 8)
         .orderBy("source", "epoch", "doc_id")
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): fit hashed uni+bigram
+    // multinomials on a target slice vs the whole corpus, weight every raw
+    // doc by its log importance ratio, select n by deterministic
+    // Gumbel-top-k. The oracle replays fit, scoring, noise and selection
+    // end-to-end (the md5-prefix hash is the cross-engine seam — a faster
+    // production hash would make this rows-only).
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val target = docs.where(col("source").isin("src0", "src1"))
+      val model = Dsir.dsirModel(docs, target, "text",
+        buckets = 8192, alpha = 1.0)
+      try {
+        Dsir.dsirResample(docs, "doc_id", "text", model, n = 120)
+          .select(col("doc_id"), col("n_ngrams"),
+            round(col("log_weight"), 6).as("log_weight"),
+            round(col("gumbel_key"), 6).as("gumbel_key"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally model.release()
     }),
 
     // ------------------------------------------------------- deduplication
@@ -2292,6 +2314,54 @@ object SparkEntry {
         |UNION ALL
         |SELECT source, doc_id, n_tokens, epoch FROM partial
         |ORDER BY source, epoch, doc_id""".stripMargin,
+
+    // DSIR replayed end-to-end: hashed uni+bigram bucket counts for target
+    // slice and full corpus, add-α log-ratio per bucket (α=1, B=8192 —
+    // denominators computed as the same IEEE doubles), per-doc weight sum,
+    // md5-seeded Gumbel noise, top-120 by (key DESC, doc_id). Every raw
+    // doc's buckets exist in rc (raw = scored corpus), so the inner join
+    // to ratio equals Spark's left-join-with-default.
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0
+        |), ng AS (
+        |  SELECT doc_id, source, unnest(t) AS ng FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS ng
+        |  FROM toks
+        |), nb AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) % 8192 AS b
+        |  FROM ng
+        |), tc AS (
+        |  SELECT b, COUNT(*) AS ct FROM nb
+        |  WHERE source IN ('src0', 'src1') GROUP BY b
+        |), rc AS (SELECT b, COUNT(*) AS cr FROM nb GROUP BY b),
+        |tot AS (
+        |  SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt,
+        |         (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr
+        |), ratio AS (
+        |  SELECT rc.b,
+        |    LN((COALESCE(tc.ct, 0) + 1.0) / (tot.tt + 1.0 * 8192))
+        |      - LN((rc.cr + 1.0) / (tot.tr + 1.0 * 8192)) AS lr
+        |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+        |), w AS (
+        |  SELECT nb.doc_id, COUNT(*) AS n_ngrams, SUM(ratio.lr) AS lw
+        |  FROM nb JOIN ratio ON nb.b = ratio.b
+        |  GROUP BY nb.doc_id
+        |), keyed AS (
+        |  SELECT doc_id, n_ngrams, lw,
+        |    lw - LN(-LN((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':dsir'), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)) AS key
+        |  FROM w
+        |), sel AS (
+        |  SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 120
+        |)
+        |SELECT doc_id, n_ngrams, ROUND(lw, 6) AS log_weight,
+        |  ROUND(key, 6) AS gumbel_key
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH all_docs AS (
