@@ -791,6 +791,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4 bad-words blocklist screening: terms are injected per row (the
+    // corpus has none) so both the hit and the longest-alternative paths
+    // are exercised ("badword" must match the long term, not fail the
+    // boundary on "bad"); one compiled regexp_extract_all pass yields
+    // count, audit terms and the keep flag. Oracle replays the identical
+    // alternation (keywordPattern sorts longest-first precisely so Java's
+    // first-match == RE2's longest-match).
+    "q_blocklist" -> ((s, dir) => {
+      val kws = Seq("badword", "bad", "evil phrase")
+      val hits = regexp_extract_all(
+        lower(col("text")), lit(Curation.keywordPattern(kws)), lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" badword here"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" an evil phrase and bad stuff")).otherwise(lit("")))
+          .as("text"))
+        .select(col("doc_id"), size(hits).as("n_hits"),
+          array_join(array_sort(array_distinct(hits)), ",").as("hit_terms"),
+          when(size(hits) === 0, lit(1)).otherwise(lit(0)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Leakage-safe group-aware split: every member of a near-dup group (the
     // q_dedup_groups pair set) lands in ONE split — a near-copy of a training
     // doc can never land in test. Split key = group representative (min id),
@@ -2191,6 +2215,28 @@ object SparkEntry {
       """SELECT doc_id,
         |  TRIM(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same alternation keywordPattern generates (longest-first, so RE2's
+    // leftmost-longest and Java's first-match agree); same injections
+    "q_blocklist" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' badword here' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' an evil phrase and bad stuff'
+        |         ELSE '' END AS text
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text),
+        |      '\b(?:evil phrase|badword|bad)\b') AS hits
+        |  FROM docs
+        |)
+        |SELECT doc_id, CAST(len(hits) AS INT) AS n_hits,
+        |  -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+        |  COALESCE(array_to_string(list_sort(list_distinct(hits)), ','), '')
+        |    AS hit_terms,
+        |  CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS kept
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_sample_per_group" ->
       """SELECT source, doc_id, rk FROM (

@@ -192,6 +192,43 @@ object Curation {
     trim(regexp_replace(lower(text), "[ \\t\\n\\r]+", " "))
 
   /**
+   * C4-style blocklist screening (Raffel et al. 2020 §2.2: pages containing
+   * any word from a bad-words blocklist are dropped). One compiled
+   * row-local `regexp_extract_all` pass over the lowercased text counts
+   * word-boundary matches of ANY term — stays in whole-stage codegen, no
+   * per-keyword passes, streaming-safe.
+   *
+   * Keywords are restricted to `[a-z0-9 ]` (the shape real blocklists
+   * have) so the generated alternation is valid in both Java regex and
+   * RE2, and the oracle replays it verbatim. Terms are sorted LONGEST
+   * FIRST inside the alternation: Java's NFA takes the first alternative
+   * that matches while RE2 takes the longest — ordering by length makes
+   * first = longest, so both engines pick the same match (e.g. keywords
+   * {"bad", "badword"} over "badword" must count the long term once, not
+   * fail the boundary on "bad").
+   */
+  def keywordPattern(keywords: Seq[String]): String = {
+    require(keywords.nonEmpty, "empty keyword list")
+    keywords.foreach(k => require(k.matches("[a-z0-9 ]+") && k.trim == k,
+      s"keyword '$k' must be trimmed lowercase [a-z0-9 ] text"))
+    "\\b(?:" + keywords.sortBy(k => (-k.length, k)).mkString("|") + ")\\b"
+  }
+
+  /** Number of non-overlapping blocklist matches in `text`. */
+  def keywordHits(text: Column, keywords: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit(keywordPattern(keywords)), lit(0)))
+
+  /** Sorted distinct blocklist terms present in `text` (audit column). */
+  def keywordMatches(text: Column, keywords: Seq[String]): Column =
+    array_sort(array_distinct(
+      regexp_extract_all(lower(text), lit(keywordPattern(keywords)), lit(0))))
+
+  /** Rows whose `textCol` contains NO blocklist term — the C4 drop rule. */
+  def filterBlocklist(df: DataFrame, textCol: String,
+                      keywords: Seq[String]): DataFrame =
+    df.where(keywordHits(col(textCol), keywords) === 0)
+
+  /**
    * Deterministic k-per-group down-sample (e.g. cap every `source` domain at
    * k documents so one crawl host can't dominate the training mix). Rank
    * within the group by (md5-derived sample key asc, id asc) via the

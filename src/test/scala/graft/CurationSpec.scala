@@ -453,4 +453,38 @@ class CurationSpec extends AnyFunSuite {
     assert(strip("") == "")
     assert(strip("<p></p><div></div>") == "")
   }
+
+  test("blocklist: word-boundary hits, longest-alternative wins, case fold, " +
+    "filter keeps only clean rows, bad keywords rejected") {
+    import spark.implicits._
+    val kws = Seq("bad", "badword", "evil phrase")
+    val docs = Seq(
+      (1L, "a clean document"),
+      (2L, "contains badword here"),          // long term, NOT "bad"
+      (3L, "plain bad stuff"),                // short term
+      (4L, "an EVIL Phrase and Bad stuff"),   // case-folded, two hits
+      (5L, "embedded badwording is fine"),    // no boundary -> no hit
+      (6L, "bad bad badword")                 // repeats count
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Curation.keywordHits(col("text"), kws).as("n"),
+        array_join(Curation.keywordMatches(col("text"), kws), ",").as("terms"))
+      .as[(Long, Int, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0, "") && got(5L) == (0, ""))
+    assert(got(2L) == (1, "badword"))
+    assert(got(3L) == (1, "bad"))
+    assert(got(4L) == (2, "bad,evil phrase"))
+    assert(got(6L) == (3, "bad,badword"))
+    assert(Curation.filterBlocklist(docs, "text", kws)
+      .select("doc_id").as[Long].collect().sorted.sameElements(Seq(1L, 5L)))
+    // alternation is longest-first regardless of input order
+    assert(Curation.keywordPattern(Seq("bad", "badword")) ==
+      Curation.keywordPattern(Seq("badword", "bad")))
+    intercept[IllegalArgumentException] {
+      Curation.keywordPattern(Seq("Bad"))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.keywordPattern(Seq("a|b"))
+    }
+  }
 }
