@@ -130,6 +130,33 @@ object StreamingOps {
                           door: graft.operators.Dedup.BloomDoor): DataFrame =
     docs.where(!graft.operators.Dedup.bloomSuspect(col(textCol), door))
 
+  /** In-flight model-based quality gate (the GPT-3 Wikipedia-vs-crawl
+    * filter shape at the door): append `quality_prob` = σ(w·x) via the
+    * row-local broadcast featurize+dot expression — stateless, so live
+    * ingest and batch backfill share [[graft.ml.Classifier]]'s one scoring
+    * definition. Pair with `.where(col("quality_prob") >= τ)`. */
+  def classifyStream(docs: DataFrame, textCol: String,
+                     model: graft.ml.Classifier.LogisticModel): DataFrame =
+    docs.withColumn("quality_prob",
+      graft.ml.Classifier.scoreColumn(col(textCol), model, docs.sparkSession))
+
+  /** In-flight DSIR importance weighting: append `dsir_log_weight` via the
+    * broadcast dense-ratio expression ([[graft.functions.DsirExpressions]])
+    * — term-identical to the batch join path up to summation order.
+    * Token-less docs score NULL. */
+  def dsirScoreStream(docs: DataFrame, textCol: String,
+                      ratios: org.apache.spark.broadcast.Broadcast[
+                        Array[Double]]): DataFrame =
+    docs.withColumn("dsir_log_weight",
+      graft.functions.DsirExpressions.dsir_score(col(textCol), ratios))
+
+  /** In-flight C4 bad-words door: drop any doc containing a blocklist term
+    * — one compiled regex pass, no state, batch-identical by construction
+    * ([[graft.operators.Curation.filterBlocklist]] is pure row-local). */
+  def blocklistAtDoor(docs: DataFrame, textCol: String,
+                      keywords: Seq[String]): DataFrame =
+    graft.operators.Curation.filterBlocklist(docs, textCol, keywords)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionUpdate(user_id: Long, session_seq: Long, n_events: Long,
                                  start_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

@@ -307,4 +307,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("cross_entropy").as[Option[Double]].collect()
       .forall(_.nonEmpty))
   }
+
+  test("classifier / DSIR / blocklist twins run unchanged on a stream " +
+    "(row-local broadcast expressions) and match their batch application") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dsir
+    // tiny quality classifier: target-ish vs noise-ish
+    val train = (
+      (1 to 20).map(i => (s"theorem proof lemma spark plan $i", 1)) ++
+      (1 to 20).map(i => (s"zz$i yy$i xx$i ww$i vv$i", 0))
+    ).toDF("text", "label")
+    val clf = graft.ml.Classifier.train(train, "text", "label",
+      dims = 512, iters = 20)
+    // tiny DSIR model over the same vocabulary split
+    val dsirModel = Dsir.dsirModel(
+      train.select("text"), train.where(col("label") === 1).select("text"),
+      "text", buckets = 1024)
+    val ratios = spark.sparkContext.broadcast(Dsir.collectDsir(dsirModel))
+    dsirModel.release()
+    val kws = Seq("bad", "badword")
+    val data = Seq(
+      (1L, "theorem proof lemma spark plan 3"), // quality, clean
+      (2L, "zz1 yy2 xx3 ww4 vv5"),              // noise, clean
+      (3L, "theorem proof with a badword here"), // blocked
+      (4L, "plain bad stuff"))                   // blocked
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.blocklistAtDoor(
+        StreamingOps.dsirScoreStream(
+          StreamingOps.classifyStream(df, "text", clf), "text", ratios),
+        "text", kws)
+    val input = MemoryStream[(Long, String)]
+    val q = curate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdsb_out").start()
+    input.addData(data: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cdsb_out")
+      .select("doc_id", "quality_prob", "dsir_log_weight")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val want = curate(data.toDF("doc_id", "text"))
+      .select("doc_id", "quality_prob", "dsir_log_weight")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L) && got == want) // 3,4 blocked at door
+    // the signals separate in flight exactly like in batch
+    assert(got(1L)._2 > got(2L)._2, "classifier must favor the quality doc")
+    assert(got(1L)._3 > got(2L)._3, "DSIR must favor the target-like doc")
+  }
 }
