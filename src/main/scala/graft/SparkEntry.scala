@@ -1135,6 +1135,31 @@ object SparkEntry {
         .orderBy("query_id", "adc_dist", "neighbor_id")
     }),
 
+    // Two-stage IVFADC+R: the same index, ADC widened to m=30 candidates,
+    // exact squared-L2 re-rank against the full vectors, final k=10. The
+    // oracle replays encode, probe, ADC candidate ranking AND the exact
+    // re-rank end-to-end in SQL.
+    "q_embed_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val head = emb.where(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centroids = head.take(8)
+      val dim = head(0).length
+      val m = 8; val kS = 16; val subLen = dim / m
+      val pq = graft.kernels.Kernels.PqModel(Array.tabulate(m)(j =>
+        Array.tabulate(kS)(i =>
+          java.util.Arrays.copyOfRange(head(i), j * subLen, (j + 1) * subLen))))
+      val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", centroids, pq)
+        .localCheckpoint(true)
+      Similarity.ivfPqSearchRerank(enc, emb, "vec_id", "embedding",
+        (0 until 3).map(qi => (qi.toLong, head(qi))), centroids, pq,
+        k = 10, m = 30, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("list_id"),
+          round(col("l2_dist"), 6).as("l2_dist"))
+        .orderBy("query_id", "l2_dist", "neighbor_id")
+    }),
+
     // Exact-vs-approx recall diagnostic (J5, exm/Example.java:155–182): the
     // per-query overlap of Linear vs IVF top-k — makes ANN quality a
     // hash-checked number (oracle recomputes both top-k sets and the overlap
@@ -2648,6 +2673,77 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, CAST(list_id AS INT) AS list_id, ROUND(adc, 6) AS adc_dist
         |FROM ranked WHERE rn <= 10
-        |ORDER BY query_id, adc_dist, neighbor_id""".stripMargin
+        |ORDER BY query_id, adc_dist, neighbor_id""".stripMargin,
+
+    // the q_embed_ivfpq replay with the candidate window widened to rn<=30
+    // and an exact squared-L2 re-rank stage on the full vectors
+    "q_embed_rerank" ->
+      """WITH head AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 16
+        |), cents AS (
+        |  SELECT vec_id AS cid, v AS cv FROM head WHERE vec_id < 8
+        |), pqc AS (
+        |  SELECT j.j, h.vec_id AS i, h.v[j.j * 8 + 1 : j.j * 8 + 8] AS sub
+        |  FROM head h CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+        |), corpus AS (
+        |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), assign AS (
+        |  SELECT nid, v, cid AS list_id, cv FROM (
+        |    SELECT c.nid, c.v, ct.cid, ct.cv,
+        |      ROW_NUMBER() OVER (PARTITION BY c.nid ORDER BY
+        |        list_sum(list_transform(c.v, (x, i) -> (x - ct.cv[i]) * (x - ct.cv[i]))) ASC,
+        |        ct.cid ASC) AS rn
+        |    FROM corpus c CROSS JOIN cents ct)
+        |  WHERE rn = 1
+        |), resid AS (
+        |  SELECT nid, list_id, list_transform(v, (x, i) -> cv[i] - x) AS r FROM assign
+        |), codes AS (
+        |  SELECT nid, list_id, j, i AS code FROM (
+        |    SELECT r.nid, r.list_id, p.j, p.i,
+        |      ROW_NUMBER() OVER (PARTITION BY r.nid, p.j ORDER BY
+        |        list_sum(list_transform(p.sub, (x, i) -> (r.r[p.j * 8 + i] - x) * (r.r[p.j * 8 + i] - x))) ASC,
+        |        p.i ASC) AS rn
+        |    FROM resid r CROSS JOIN pqc p)
+        |  WHERE rn = 1
+        |), queries AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM head WHERE vec_id < 3
+        |), probes AS (
+        |  SELECT query_id, cid AS list_id, cv FROM (
+        |    SELECT q.query_id, ct.cid, ct.cv,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(q.qv, (x, i) -> (x - ct.cv[i]) * (x - ct.cv[i]))) ASC,
+        |        ct.cid ASC) AS rn
+        |    FROM queries q CROSS JOIN cents ct)
+        |  WHERE rn <= 4
+        |), qresid AS (
+        |  SELECT p.query_id, p.list_id, list_transform(q.qv, (x, i) -> p.cv[i] - x) AS qr
+        |  FROM probes p JOIN queries q ON q.query_id = p.query_id
+        |), cand AS (
+        |  SELECT qr.query_id, cd.nid AS neighbor_id, cd.list_id,
+        |    SUM(list_sum(list_transform(p.sub, (x, i) -> (qr.qr[cd.j * 8 + i] - x) * (qr.qr[cd.j * 8 + i] - x)))) AS adc
+        |  FROM codes cd
+        |  JOIN pqc p ON p.j = cd.j AND p.i = cd.code
+        |  JOIN qresid qr ON qr.list_id = cd.list_id
+        |  GROUP BY qr.query_id, cd.nid, cd.list_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, list_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+        |  FROM cand
+        |), cand30 AS (
+        |  SELECT query_id, neighbor_id, list_id FROM ranked WHERE rn <= 30
+        |), rer AS (
+        |  SELECT c.query_id, c.neighbor_id, c.list_id,
+        |    list_sum(list_transform(q.qv, (x, i) -> (x - co.v[i]) * (x - co.v[i]))) AS l2
+        |  FROM cand30 c
+        |  JOIN corpus co ON co.nid = c.neighbor_id
+        |  JOIN queries q ON q.query_id = c.query_id
+        |), rr AS (
+        |  SELECT query_id, neighbor_id, list_id, l2,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2 ASC, neighbor_id ASC) AS rn
+        |  FROM rer
+        |)
+        |SELECT query_id, neighbor_id, CAST(list_id AS INT) AS list_id, ROUND(l2, 6) AS l2_dist
+        |FROM rr WHERE rn <= 10
+        |ORDER BY query_id, l2_dist, neighbor_id""".stripMargin
   )
 }

@@ -247,6 +247,46 @@ object Similarity {
   }
 
   /**
+   * Two-stage IVFADC search with exact re-rank (the IVFADC+R shape, Jégou
+   * et al. TPAMI 2011 §V / FAISS's refine stage): PQ distances rank
+   * candidates cheaply but carry quantization error, so the ADC stage is
+   * widened to `m ≥ k` candidates per query and the survivors are re-ranked
+   * by EXACT squared L2 against the full vectors. Scale shape: the
+   * candidate set is |Q|·m ids — it is broadcast back onto the vector
+   * table, so the corpus is scanned once, full vectors never enter an
+   * exchange, and the exact distance runs in the native codegen'd
+   * `vec_squared_l2`; the final per-query k is a [[BoundedTopK]] partial
+   * aggregate, no Window. Returns (query_id, neighbor_id, list_id,
+   * l2_dist), per query the k best by (l2_dist asc, id asc).
+   */
+  def ivfPqSearchRerank(encoded: DataFrame, vectors: DataFrame, idCol: String,
+                        vecCol: String, queries: Seq[(Long, Array[Double])],
+                        centroids: Array[Array[Double]],
+                        pq: graft.kernels.Kernels.PqModel,
+                        k: Int, m: Int, nprobe: Int): DataFrame = {
+    require(m >= k, s"re-rank window m=$m must be >= k=$k")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cand = ivfPqSearchMany(encoded, idCol, queries, centroids, pq,
+        k = m, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("list_id"))
+    val qDf = queries.toDF("query_id", "__qv")
+    val scored = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("list_id"),
+        graft.functions.VectorExpressions.vec_squared_l2(
+          col("__qv"), col("__nv")).as("l2_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(BoundedTopK.topK(col("l2_dist"), col("neighbor_id"),
+        col("list_id"), k, ascending = true).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.payload").as("list_id"), col("e.score").as("l2_dist"))
+  }
+
+  /**
    * Exact-vs-approx recall diagnostic (J5, exm/Example.java:155–182: the
    * reference prints the overlap of linear vs IVFPQ result sets). Per query:
    * |exact ∩ approx| / k over the top-k neighbor-id sets. Both inputs in the

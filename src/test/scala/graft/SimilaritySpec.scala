@@ -335,4 +335,62 @@ class SimilaritySpec extends AnyFunSuite {
     val want = Kernels.cosineSimilarity(vecs(0)._2.map(_.toDouble), vecs(1)._2.map(_.toDouble))
     assert(math.abs(got - want) < 1e-9)
   }
+
+  test("ivfPqSearchRerank: result = exact-L2 top-k over the ADC candidate " +
+    "set (scalar replay); recall never below plain ADC; m=k edge; m<k rejected") {
+    val (centroids, pq) = pqSetup
+    val enc = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", centroids, pq)
+      .localCheckpoint(true)
+    val queries = (0 until 3).map(qi => (qi.toLong, vecs(qi)._2.map(_.toDouble)))
+    val (k, mWide, nprobe) = (5, 20, 3)
+    val got = Similarity.ivfPqSearchRerank(enc, corpus, "vec_id", "embedding",
+        queries, centroids, pq, k, mWide, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    // scalar replay: ADC candidates (top mWide) → exact L2 → top k
+    val byId = vecs.toMap
+    queries.foreach { case (qid, qv) =>
+      val probed = Kernels.kNearestCentroids(qv, centroids, nprobe).toSet
+      val cand = vecs.filter { case (id, vf) =>
+        probed.contains(Kernels.nearestCentroid(vf.map(_.toDouble), centroids))
+      }.map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        val li = Kernels.nearestCentroid(v, centroids)
+        val lut = Kernels.adcLookupTable(Kernels.residual(qv, centroids(li)), pq)
+        val code = Kernels.pqEncode(Kernels.residual(v, centroids(li)), pq)
+        val adc = code.indices.map(j => lut(j)(code(j))).sum
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }.take(mWide)
+      def l2sq(id: Long): Double = {
+        val v = byId(id).map(_.toDouble)
+        qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      val want = cand.map { case (id, _) => (id, l2sq(id)) }
+        .sortBy { case (id, d) => (d, id) }.take(k)
+      val g = got(qid).sortBy(r => (r._4, r._2)).map(r => (r._2, r._4))
+      assert(g.map(_._1).toSeq == want.map(_._1).toSeq, s"query $qid ids")
+      g.zip(want).foreach { case ((_, gd), (_, wd)) =>
+        assert(math.abs(gd - wd) < 1e-9, s"query $qid dist")
+      }
+      // exact re-rank can only help: its top-k true-L2 set is at least as
+      // close as ranking the same candidates by ADC
+      val adcTopK = cand.take(k).map(_._1)
+      assert(want.map(_._2).sum <= adcTopK.map(l2sq).sorted.sum + 1e-12,
+        s"query $qid rerank regressed")
+    }
+    // m = k degenerates to re-scoring the ADC top-k (same ids, exact dists)
+    val mk = Similarity.ivfPqSearchRerank(enc, corpus, "vec_id", "embedding",
+        queries, centroids, pq, k, m = k, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val adc = Similarity.ivfPqSearchMany(enc, "vec_id", queries, centroids,
+        pq, k, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    queries.foreach { case (qid, _) =>
+      assert(mk(qid).map(_._2).toSet == adc(qid).map(_._2).toSet, s"q $qid m=k")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearchRerank(enc, corpus, "vec_id", "embedding",
+        queries, centroids, pq, k = 10, m = 5, nprobe = nprobe)
+    }
+  }
 }
