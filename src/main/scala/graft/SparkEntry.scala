@@ -597,6 +597,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Stupid Backoff trigram scoring (Brants et al. 2007 — the smoothing
+    // designed for distributed web-scale LMs): count-table model, backoff
+    // chain trigram → α·bigram → α²·unigram with a 1/N unseen floor. The
+    // oracle replays train (three n-gram count tables) AND score (five
+    // joins + the backoff CASE cascade) end-to-end.
+    "q_sb_trigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val lm = TextOps.stupidBackoffLm(docs, "text")
+      try {
+        TextOps.sbScore(docs, "doc_id", "text", lm)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("sb_logscore"), 6).as("sb_logscore"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally lm.release()
+    }),
+
     // CCNet head/middle/tail perplexity buckets (Wenzek et al. §4.3):
     // EXACT rank terciles under (cross_entropy, doc_id) — order statistics,
     // not interpolated percentiles, so membership replays exactly; rank via
@@ -2064,6 +2082,58 @@ object SparkEntry {
         |FROM bg b LEFT JOIN c12 ON b.bg = c12.bg
         |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // Stupid Backoff replayed end-to-end: position table with row-local
+    // context columns (1-based comprehension indices), the three count
+    // tables, five left joins and the backoff CASE cascade. NULL context
+    // keys (pos 0/1) never match — same as Spark's short concat_ws keys.
+    "q_sb_trigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0
+        |), pos AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, len(t))) AS pos,
+        |    unnest(t) AS w,
+        |    unnest([CASE WHEN i >= 2 THEN t[i-1] END
+        |            for i in range(1, len(t)+1)]) AS w1,
+        |    unnest([CASE WHEN i >= 3 THEN t[i-2] END
+        |            for i in range(1, len(t)+1)]) AS w2
+        |  FROM toks
+        |), uni AS (SELECT w, COUNT(*) AS c1 FROM pos GROUP BY w),
+        |bgc AS (
+        |  SELECT w1 || ' ' || w AS bgk, COUNT(*) AS c2 FROM pos
+        |  WHERE w1 IS NOT NULL GROUP BY 1
+        |), tgc AS (
+        |  SELECT w2 || ' ' || w1 || ' ' || w AS tgk, COUNT(*) AS c3 FROM pos
+        |  WHERE w2 IS NOT NULL GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS n FROM pos),
+        |s1 AS (
+        |  SELECT p.doc_id, p.pos,
+        |    CASE WHEN u.c1 IS NULL THEN 1.0 / CAST(tot.n AS DOUBLE)
+        |         ELSE CAST(u.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS su,
+        |    CAST(b.c2 AS DOUBLE) AS c2, CAST(up.c1 AS DOUBLE) AS c1p,
+        |    CAST(tg.c3 AS DOUBLE) AS c3, CAST(bp.c2 AS DOUBLE) AS c2p
+        |  FROM pos p CROSS JOIN tot
+        |  LEFT JOIN uni u ON u.w = p.w
+        |  LEFT JOIN uni up ON up.w = p.w1
+        |  LEFT JOIN bgc b ON b.bgk = p.w1 || ' ' || p.w
+        |  LEFT JOIN bgc bp ON bp.bgk = p.w2 || ' ' || p.w1
+        |  LEFT JOIN tgc tg ON tg.tgk = p.w2 || ' ' || p.w1 || ' ' || p.w
+        |), s2 AS (
+        |  SELECT *, CASE WHEN c2 IS NOT NULL THEN c2 / c1p
+        |    ELSE CAST(0.4 AS DOUBLE) * su END AS sb
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN pos = 0 THEN su WHEN pos = 1 THEN sb
+        |      ELSE CASE WHEN c3 IS NOT NULL THEN c3 / c2p
+        |        ELSE CAST(0.4 AS DOUBLE) * sb END END AS s
+        |  FROM s2
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(SUM(-LN(s)) / COUNT(*), 6) AS sb_logscore
+        |FROM s3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // CCNet head/middle/tail buckets: the q_lm_perplexity replay plus an
     // exact-rank tercile layer. Rank is ROW_NUMBER under (raw cross_entropy,

@@ -501,6 +501,104 @@ object TextOps {
     graft.functions.LmExpressions.lm_score(text, lm)
 
   /**
+   * Stupid Backoff trigram model (Brants et al. 2007, "Large Language
+   * Models in Machine Translation" — the smoothing DESIGNED for distributed
+   * web-scale LMs: no normalization pass, so counts shard trivially and the
+   * model stays count tables). Score of a token given its context backs off
+   * with factor α: S(w|w₋₂w₋₁) = c₃/c₂(prefix) when the trigram is seen,
+   * else α·S(w|w₋₁); S(w|w₋₁) = c₂/c₁(prev) when the bigram is seen, else
+   * α·S(w); S(w) = c₁/N, flooring at 1/N for unseen words.
+   *
+   * Three row-local shingle scans of the training corpus feed three keyed
+   * count aggregates (shuffles carry n-grams, never documents); `total` is
+   * one scalar off the unigram table. All three tables are PERSISTED — the
+   * scoring join reads each — with the [[BigramLm]] release contract.
+   */
+  final case class SbLm(trigrams: org.apache.spark.sql.DataFrame,
+                        bigrams: org.apache.spark.sql.DataFrame,
+                        unigrams: org.apache.spark.sql.DataFrame,
+                        total: Long, alpha: Double) {
+    def release(): Unit = {
+      trigrams.unpersist(blocking = false)
+      bigrams.unpersist(blocking = false)
+      unigrams.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  def stupidBackoffLm(train: org.apache.spark.sql.DataFrame, textCol: String,
+                      alpha: Double = 0.4): SbLm = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def grams(n: Int, key: String, cnt: String) = train
+      .select(explode(graft.functions.TextExpressions.word_shingles(
+        col(textCol), n)).as(key))
+      .groupBy(key).agg(count(lit(1)).as(cnt))
+      .persist(MEMORY_AND_DISK)
+    val uni = grams(1, "w", "c1")
+    val bg = grams(2, "bgk", "c2")
+    val tg = grams(3, "tgk", "c3")
+    val total = uni.agg(coalesce(sum("c1"), lit(0L))).head.getLong(0)
+    SbLm(tg, bg, uni, total, alpha)
+  }
+
+  /**
+   * Per-document mean negative log Stupid Backoff score — the trigram twin
+   * of [[lmScore]]'s quality signal (lower = more fluent under the training
+   * distribution; not a true perplexity since SB scores are unnormalized —
+   * Brants et al. use them comparatively, exactly the curation use).
+   * Position 0 scores as a unigram, position 1 as a bigram-with-backoff,
+   * positions ≥ 2 as trigram-with-backoff. Documents with no tokens are
+   * absent.
+   *
+   * Scale shape: context keys are assembled ROW-LOCALLY from the token
+   * array (one transform pass per document — per-token struct packing, no
+   * Window, no self-join), then one explode feeds five model joins keyed on
+   * n-gram strings and a per-id aggregate: shuffles carry n-grams and ids,
+   * never document text. Returns (idCol, n_tokens, sb_logscore).
+   */
+  def sbScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, model: SbLm): org.apache.spark.sql.DataFrame = {
+    require(model.total > 0, "sbScore: empty language model (total = 0)")
+    val n = model.total.toDouble
+    val a = model.alpha
+    val pos = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol), explode(transform(col("__t"), (w, i) => struct(
+        i.as("pos"), w.as("w"),
+        when(i >= 1, element_at(col("__t"), i)).as("w1"),
+        when(i >= 2, element_at(col("__t"), i - 1)).as("w2")))).as("p"))
+      .select(col(idCol), col("p.pos").as("pos"), col("p.w").as("w"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .withColumn("bgk", concat_ws(" ", col("w1"), col("w")))
+      .withColumn("tgk", concat_ws(" ", col("w2"), col("w1"), col("w")))
+      .withColumn("pgk", concat_ws(" ", col("w2"), col("w1")))
+    val joined = pos
+      .join(model.unigrams, Seq("w"), "left")
+      .join(model.unigrams.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "c1p"), Seq("w1"), "left")
+      .join(model.bigrams, Seq("bgk"), "left")
+      .join(model.bigrams.withColumnRenamed("bgk", "pgk")
+        .withColumnRenamed("c2", "c2p"), Seq("pgk"), "left")
+      .join(model.trigrams, Seq("tgk"), "left")
+    val sUni = when(col("c1").isNull, lit(1.0) / n)
+      .otherwise(col("c1").cast("double") / n)
+    val sBig = when(col("c2").isNotNull,
+      col("c2").cast("double") / col("c1p").cast("double"))
+      .otherwise(lit(a) * sUni)
+    val sTri = when(col("c3").isNotNull,
+      col("c3").cast("double") / col("c2p").cast("double"))
+      .otherwise(lit(a) * sBig)
+    val s = when(col("pos") === 0, sUni)
+      .when(col("pos") === 1, sBig).otherwise(sTri)
+    joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(-log(s)).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s") / col("n_tokens")).as("sb_logscore"))
+  }
+
+  /**
    * Context-window chunking: split each document into consecutive
    * `chunkSize`-token chunks (last chunk may be shorter) — the doc-local
    * step that turns a raw corpus into model-ingestible sequences. Row-local

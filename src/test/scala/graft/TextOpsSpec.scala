@@ -366,6 +366,35 @@ class TextOpsSpec extends AnyFunSuite {
     lm.release()
   }
 
+  test("stupidBackoffLm/sbScore: hand-computed backoff chain — trigram hit, " +
+    "bigram hit, double backoff, unseen-word floor; single-token and empty docs") {
+    val train = Seq((1L, "a b c a b d"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = TextOps.stupidBackoffLm(train, "text")
+    // counts: a:3 b:3 c:2 d:1, N=9; "a b":3 "b c":2 "c a":1 "b d":1;
+    // "a b c":2 "b c a":1 "c a b":1 "a b d":1
+    assert(lm.total == 9)
+    assert(lm.unigrams.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    val docs = Seq((10L, "a b c z b c"), (11L, "a"), (12L, " "))
+      .toDF("doc_id", "text")
+    val got = TextOps.sbScore(docs, "doc_id", "text", lm)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(10L, 11L))
+    val a = 0.4
+    val s = Seq(
+      3.0 / 9,            // pos0 "a": unigram
+      3.0 / 3,            // pos1 "b"|a: bigram "a b"=3 / c1(a)=3
+      2.0 / 3,            // pos2 "c"|a b: trigram "a b c"=2 / c2("a b")=3
+      a * (a * (1.0 / 9)),// pos3 "z": tri+bi unseen, unigram floor 1/N
+      a * (a * (3.0 / 9)),// pos4 "b"|c z: tri+bi unseen, unigram b=3/9
+      a * (2.0 / 3))      // pos5 "c"|z b: tri unseen, bigram "b c"=2/c1(b)=3
+    val want = s.map(x => -math.log(x)).sum / 6
+    assert(got(10L)._2 == 6 && math.abs(got(10L)._3 - want) < 1e-12)
+    assert(got(11L)._2 == 1 &&
+      math.abs(got(11L)._3 + math.log(3.0 / 9)) < 1e-12)
+    lm.release(); lm.release() // idempotent
+  }
+
   test("perplexityBuckets: exact rank terciles match a driver-side replay, " +
     "duplicate texts tie on id, custom bucket count, release seam") {
     val train = Seq((1L, "a b a b c a b"), (2L, "b c a")).toDF("doc_id", "text")
