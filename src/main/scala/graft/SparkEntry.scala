@@ -1032,6 +1032,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Quality-aware keep policy: same duplicate groups, but the survivor is
+    // the member with the MOST tokens (ties → lowest id) — the injected
+    // " extra" copies are one token longer than their originals, so the
+    // kept set must flip to the high-id copies exactly where q_dedup_keep
+    // keeps the originals (the two queries differentially pin the policy).
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = docsWithDupes(s, dir, maxDocs = 500L)
+      val groups = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.6))
+      Dedup.keepBestRepresentatives(docs, "doc_id", groups,
+        size(TextOps.tokens(col("text"))))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Cross-document EXACT repeated spans (Lee et al. 2021 substring-dedup
     // unit): maximal ≥4-token spans shared verbatim between documents, with
     // 0-based token positions on both sides — the span-level signal
@@ -1403,6 +1417,48 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM all_docs
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> group_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the q_dedup_keep replay with a keep-best layer: per component the
+    // winner has the most tokens (ties -> lowest id); everyone else drops
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+        |  FROM documents WHERE doc_id < 20
+        |), base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, array_length(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM all_docs)
+        |  WHERE array_length(toks) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh)) > 0
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.6
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
+        |), comp AS (
+        |  SELECT id, MIN(r) AS group_id FROM reach GROUP BY id
+        |), scored AS (
+        |  SELECT comp.id, comp.group_id,
+        |    array_length(regexp_split_to_array(TRIM(d.text), '\s+')) AS n_toks
+        |  FROM comp JOIN all_docs d ON d.doc_id = comp.id
+        |), winners AS (
+        |  SELECT id FROM (
+        |    SELECT id, ROW_NUMBER() OVER (PARTITION BY group_id
+        |      ORDER BY n_toks DESC, id ASC) AS rn FROM scored)
+        |  WHERE rn = 1
+        |)
+        |SELECT doc_id FROM all_docs
+        |WHERE doc_id NOT IN (
+        |  SELECT id FROM scored WHERE id NOT IN (SELECT id FROM winners))
         |ORDER BY doc_id""".stripMargin,
 
     "q_backfill" ->

@@ -345,6 +345,32 @@ object Dedup {
     df.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Quality-aware keep policy: within every duplicate group keep the member
+   * with the BEST `score` (ties → lowest id) instead of the lowest id.
+   * Real curation keeps the longest / highest-quality copy — near-dup
+   * groups typically contain one full document and several truncated or
+   * boilerplate-wrapped variants, and [[keepRepresentatives]]' min-id pick
+   * is arbitrary about which survives. `score` is any Column over `df`
+   * (token count, gopher signal, classifier probability, …).
+   *
+   * Scale shape: one ids+score join against the corpus (the score column is
+   * projected in the scan — text never shuffles), a per-group bounded-heap
+   * top-1 ([[graft.operators.Similarity.topKPerGroup]] — map-side capped,
+   * no Window) and two ids-only anti-joins.
+   */
+  def keepBestRepresentatives(df: DataFrame, idCol: String, groups: DataFrame,
+                              score: Column,
+                              higherIsBetter: Boolean = true): DataFrame = {
+    val scored = groups.join(
+      df.select(col(idCol).as("id"), score.as("__score")), Seq("id"))
+    val winners = Similarity.topKPerGroup(scored, Seq("group_id"), "__score",
+        "id", k = 1, ascending = !higherIsBetter)
+      .select(col("id"))
+    val losers = groups.select("id").join(winners, Seq("id"), "left_anti")
+    df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate clusters end-to-end: LSH candidate pairs (verified by
     * exact Jaccard) → connected components → (id, group_id). The curation
     * step keeps `id == group_id` rows plus all never-paired docs. */

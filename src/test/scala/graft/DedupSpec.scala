@@ -94,6 +94,35 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._1 < p._2))
   }
 
+  test("keepBestRepresentatives: longest member survives, ties break to " +
+    "lowest id — exact dupes keep the original, longer near-dupes replace it") {
+    val groups = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3,
+        threshold = 0.8))
+    def nToks = size(split(trim(col("text")), "\\s+"))
+    val kept = Dedup.keepBestRepresentatives(docs, "doc_id", groups, nToks)
+      .select("doc_id").as[Long].collect().toSet
+    // driver-side replay over the actual component structure
+    val g = groups.as[(Long, Long)].collect()
+    val lens = docs.select(col("doc_id"), nToks.as("n"))
+      .as[(Long, Int)].collect().toMap
+    val winners = g.groupBy(_._2).map { case (_, members) =>
+      members.map(_._1).minBy(id => (-lens(id), id))
+    }.toSet
+    val losers = g.map(_._1).toSet -- winners
+    val expected = docs.select("doc_id").as[Long].collect().toSet -- losers
+    assert(kept == expected)
+    // the policy flips exactly on the one-token-longer near-dup copies and
+    // tie-breaks exact dupes back to the original
+    (10L until 20L).foreach(id => assert(!kept(id) && kept(id + 2000), s"$id"))
+    (0L until 10L).foreach(id => assert(kept(id) && !kept(id + 1000), s"$id"))
+    // lowest-quality-wins variant inverts the near-dup choice
+    val keptWorst = Dedup.keepBestRepresentatives(docs, "doc_id", groups,
+        nToks, higherIsBetter = false)
+      .select("doc_id").as[Long].collect().toSet
+    (10L until 20L).foreach(id => assert(keptWorst(id) && !keptWorst(id + 2000)))
+  }
+
   test("minhashLshPairs ⊆ exact pairs at same threshold, recall ≥ 0.9 on dupes") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
