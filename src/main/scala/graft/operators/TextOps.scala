@@ -526,18 +526,29 @@ object TextOps {
     }
   }
 
+  /** `minCount` is KenLM-style count pruning (Brants et al. §3 prune their
+    * web-scale tables the same way): higher-order entries below the floor
+    * are dropped and scoring backs off through them — the knob that turns a
+    * 10⁹-row trigram table into a shippable model. The UNIGRAM table and
+    * `total` are never pruned (they are the backstop distribution; pruning
+    * them would change every backed-off score, not just drop rare context).
+    */
   def stupidBackoffLm(train: org.apache.spark.sql.DataFrame, textCol: String,
-                      alpha: Double = 0.4): SbLm = {
+                      alpha: Double = 0.4, minCount: Long = 1L): SbLm = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def grams(n: Int, key: String, cnt: String) = train
-      .select(explode(graft.functions.TextExpressions.word_shingles(
-        col(textCol), n)).as(key))
-      .groupBy(key).agg(count(lit(1)).as(cnt))
-      .persist(MEMORY_AND_DISK)
-    val uni = grams(1, "w", "c1")
-    val bg = grams(2, "bgk", "c2")
-    val tg = grams(3, "tgk", "c3")
+    def grams(n: Int, key: String, cnt: String, prune: Boolean) = {
+      val counts = train
+        .select(explode(graft.functions.TextExpressions.word_shingles(
+          col(textCol), n)).as(key))
+        .groupBy(key).agg(count(lit(1)).as(cnt))
+      (if (prune && minCount > 1) counts.where(col(cnt) >= minCount)
+       else counts).persist(MEMORY_AND_DISK)
+    }
+    val uni = grams(1, "w", "c1", prune = false)
+    val bg = grams(2, "bgk", "c2", prune = true)
+    val tg = grams(3, "tgk", "c3", prune = true)
     val total = uni.agg(coalesce(sum("c1"), lit(0L))).head.getLong(0)
     SbLm(tg, bg, uni, total, alpha)
   }

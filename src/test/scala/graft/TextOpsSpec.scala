@@ -393,6 +393,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(11L)._2 == 1 &&
       math.abs(got(11L)._3 + math.log(3.0 / 9)) < 1e-12)
     lm.release(); lm.release() // idempotent
+    // KenLM-style count pruning: minCount=2 drops every singleton bi/trigram
+    // ("c a","b d","b c a","c a b","a b d") — scoring backs off through the
+    // holes; unigrams and N are never pruned
+    val pruned = TextOps.stupidBackoffLm(train, "text", minCount = 2)
+    assert(pruned.trigrams.as[(String, Long)].collect().toMap ==
+      Map("a b c" -> 2L))
+    assert(pruned.bigrams.as[(String, Long)].collect().toMap ==
+      Map("a b" -> 3L, "b c" -> 2L))
+    assert(pruned.total == 9)
+    val gotP = TextOps.sbScore(Seq((20L, "a b c a")).toDF("doc_id", "text"),
+        "doc_id", "text", pruned)
+      .as[(Long, Long, Double)].collect().head
+    // pos3 "a"|b c: trigram "b c a" pruned -> α·bigram "c a" pruned ->
+    // α²·uni(a); pos0-2 unchanged
+    val sp = Seq(3.0 / 9, 1.0, 2.0 / 3, a * a * (3.0 / 9))
+    assert(gotP._2 == 4 &&
+      math.abs(gotP._3 - sp.map(x => -math.log(x)).sum / 4) < 1e-12)
+    pruned.release()
   }
 
   test("perplexityBuckets: exact rank terciles match a driver-side replay, " +
