@@ -92,4 +92,84 @@ object LmExpressions {
 
   def lm_score(text: Column, lm: Broadcast[LocalLm]): Column =
     GraftBridge.column(LmScore(GraftBridge.expression(text), lm))
+
+  // --- Stupid Backoff twin -----------------------------------------------
+
+  /** Driver-collected Stupid Backoff count tables (trigram/bigram/unigram
+    * keyed by space-joined n-grams). Built by
+    * [[graft.operators.TextOps.collectSb]], which bounds its size. */
+  final case class LocalSb(c3: java.util.HashMap[String, java.lang.Long],
+                           c2: java.util.HashMap[String, java.lang.Long],
+                           c1: java.util.HashMap[String, java.lang.Long],
+                           total: Long, alpha: Double) extends Serializable
+
+  /** Mean −ln S(token | context) of `text` under Stupid Backoff — the same
+    * cascade as the join-based `sbScore` term-by-term (trigram → α·bigram →
+    * α²·unigram, 1/N floor); null when the document has no tokens. */
+  def sbScoreEval(lm: LocalSb, text: UTF8String): java.lang.Double = {
+    val toks = text.toString.trim match {
+      case "" => Array.empty[String]
+      case s => s.split("\\s+")
+    }
+    if (toks.length == 0) return null
+    val n = lm.total.toDouble
+    val a = lm.alpha
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val c1w = lm.c1.get(toks(i))
+      val sUni = if (c1w == null) 1.0 / n else c1w.doubleValue() / n
+      val s =
+        if (i == 0) sUni
+        else {
+          val big = toks(i - 1) + " " + toks(i)
+          val c2l = lm.c2.get(big)
+          val sBig =
+            if (c2l != null)
+              c2l.doubleValue() / lm.c1.get(toks(i - 1)).doubleValue()
+            else a * sUni
+          if (i == 1) sBig
+          else {
+            val c3t = lm.c3.get(toks(i - 2) + " " + big)
+            if (c3t != null)
+              c3t.doubleValue() /
+                lm.c2.get(toks(i - 2) + " " + toks(i - 1)).doubleValue()
+            else a * sBig
+          }
+        }
+      sum += -math.log(s)
+      i += 1
+    }
+    sum / toks.length
+  }
+
+  private val sbClassName = classOf[LocalSb].getName
+
+  case class SbScore(child: Expression, lm: Broadcast[LocalSb])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "sb_score"
+
+    override def nullSafeEval(v: Any): Any =
+      sbScoreEval(lm.value, v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("sbBc", lm, bcClassName)
+      val model = ctx.addMutableState(sbClassName, "sbModel",
+        v => s"$v = ($sbClassName) $bcRef.value();")
+      val boxed = ctx.freshName("sbBoxed")
+      nullSafeCodeGen(ctx, ev, v => s"""
+        java.lang.Double $boxed =
+          graft.functions.LmExpressions.sbScoreEval($model, $v);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.doubleValue(); }""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): SbScore =
+      copy(child = c)
+  }
+
+  def sb_score(text: Column, lm: Broadcast[LocalSb]): Column =
+    GraftBridge.column(SbScore(GraftBridge.expression(text), lm))
 }

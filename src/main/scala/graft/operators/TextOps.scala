@@ -609,6 +609,39 @@ object TextOps {
         (col("__s") / col("n_tokens")).as("sb_logscore"))
   }
 
+  /** Collect an [[SbLm]] into the broadcastable driver-state form the
+    * native `sb_score` expression reads — the low-latency / streaming twin
+    * (the [[collectLm]] contract: `maxEntries` guards against collecting a
+    * corpus-scale model, counted BEFORE collecting; count pruning at fit
+    * time is what makes a web-scale model fit). Denominator lookups are
+    * safe under pruning: a surviving n-gram's prefix always counts at least
+    * as much, so it survives the same floor. */
+  def collectSb(model: SbLm,
+                maxEntries: Long = 20000000L): graft.functions.LmExpressions.LocalSb = {
+    val n = model.trigrams.count() + model.bigrams.count() +
+      model.unigrams.count()
+    require(n <= maxEntries,
+      s"collectSb: model has $n entries (> $maxEntries) — use the " +
+        "join-based sbScore, or prune harder with minCount")
+    def toMap(df: org.apache.spark.sql.DataFrame) = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      df.collect().foreach(r =>
+        m.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+      m
+    }
+    graft.functions.LmExpressions.LocalSb(toMap(model.trigrams),
+      toMap(model.bigrams), toMap(model.unigrams), model.total, model.alpha)
+  }
+
+  /** Row-local Stupid Backoff scoring under a broadcast [[collectSb]]
+    * model — the streaming-safe twin of [[sbScore]] (same cascade
+    * term-by-term; summation order may differ by ~1e-12). NULL for
+    * token-less documents. */
+  def sbScoreBroadcast(text: Column,
+                       lm: org.apache.spark.broadcast.Broadcast[
+                         graft.functions.LmExpressions.LocalSb]): Column =
+    graft.functions.LmExpressions.sb_score(text, lm)
+
   /**
    * Context-window chunking: split each document into consecutive
    * `chunkSize`-token chunks (last chunk may be shorter) — the doc-local

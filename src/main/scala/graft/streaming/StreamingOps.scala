@@ -150,6 +150,16 @@ object StreamingOps {
     docs.withColumn("dsir_log_weight",
       graft.functions.DsirExpressions.dsir_score(col(textCol), ratios))
 
+  /** In-flight Stupid Backoff quality scoring: append `sb_logscore` via the
+    * broadcast count-table expression — the trigram upgrade of
+    * [[scoreStream]], same cascade as the batch join path term-by-term.
+    * Token-less docs score NULL. */
+  def sbScoreStream(docs: DataFrame, textCol: String,
+                    lm: org.apache.spark.broadcast.Broadcast[
+                      graft.functions.LmExpressions.LocalSb]): DataFrame =
+    docs.withColumn("sb_logscore",
+      graft.operators.TextOps.sbScoreBroadcast(col(textCol), lm))
+
   /** In-flight C4 bad-words door: drop any doc containing a blocklist term
     * — one compiled regex pass, no state, batch-identical by construction
     * ([[graft.operators.Curation.filterBlocklist]] is pure row-local). */

@@ -326,6 +326,10 @@ class StreamingSpec extends AnyFunSuite {
       "text", buckets = 1024)
     val ratios = spark.sparkContext.broadcast(Dsir.collectDsir(dsirModel))
     dsirModel.release()
+    val sbLm = graft.operators.TextOps.stupidBackoffLm(
+      train.where(col("label") === 1).withColumnRenamed("text", "t"), "t")
+    val sbBc = spark.sparkContext.broadcast(graft.operators.TextOps.collectSb(sbLm))
+    sbLm.release()
     val kws = Seq("bad", "badword")
     val data = Seq(
       (1L, "theorem proof lemma spark plan 3"), // quality, clean
@@ -334,8 +338,10 @@ class StreamingSpec extends AnyFunSuite {
       (4L, "plain bad stuff"))                   // blocked
     def curate(df: org.apache.spark.sql.DataFrame) =
       StreamingOps.blocklistAtDoor(
-        StreamingOps.dsirScoreStream(
-          StreamingOps.classifyStream(df, "text", clf), "text", ratios),
+        StreamingOps.sbScoreStream(
+          StreamingOps.dsirScoreStream(
+            StreamingOps.classifyStream(df, "text", clf), "text", ratios),
+          "text", sbBc),
         "text", kws)
     val input = MemoryStream[(Long, String)]
     val q = curate(input.toDF().toDF("doc_id", "text"))
@@ -344,14 +350,15 @@ class StreamingSpec extends AnyFunSuite {
     input.addData(data: _*)
     q.processAllAvailable(); q.stop()
     val got = spark.table("cdsb_out")
-      .select("doc_id", "quality_prob", "dsir_log_weight")
-      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+      .select("doc_id", "quality_prob", "dsir_log_weight", "sb_logscore")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
     val want = curate(data.toDF("doc_id", "text"))
-      .select("doc_id", "quality_prob", "dsir_log_weight")
-      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+      .select("doc_id", "quality_prob", "dsir_log_weight", "sb_logscore")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
     assert(got.keySet == Set(1L, 2L) && got == want) // 3,4 blocked at door
     // the signals separate in flight exactly like in batch
     assert(got(1L)._2 > got(2L)._2, "classifier must favor the quality doc")
     assert(got(1L)._3 > got(2L)._3, "DSIR must favor the target-like doc")
+    assert(got(1L)._4 < got(2L)._4, "SB must score the in-domain doc lower")
   }
 }

@@ -413,6 +413,33 @@ class TextOpsSpec extends AnyFunSuite {
     pruned.release()
   }
 
+  test("sbScoreBroadcast: term-identical to the join-based sbScore (order-" +
+    "noise only) incl. under pruning; NULL for token-less docs; size guard") {
+    val train = Seq((1L, "a b c a b d e f a b c"), (2L, "b c a d e"))
+      .toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c z q"), (11L, "c a b d e f"), (12L, "z"),
+      (13L, " ")).toDF("doc_id", "text")
+    Seq(1L, 2L).foreach { minCount =>
+      val lm = TextOps.stupidBackoffLm(train, "text", minCount = minCount)
+      val bc = spark.sparkContext.broadcast(TextOps.collectSb(lm))
+      val joinPath = TextOps.sbScore(docs, "doc_id", "text", lm)
+        .select("doc_id", "sb_logscore").as[(Long, Double)].collect().toMap
+      val exprPath = docs.select(col("doc_id"),
+          TextOps.sbScoreBroadcast(col("text"), bc).as("s"))
+        .as[(Long, Option[Double])].collect().toMap
+      assert(joinPath.keySet == Set(10L, 11L, 12L))
+      assert(exprPath(13L).isEmpty, "whitespace-only doc must score NULL")
+      joinPath.foreach { case (id, sc) =>
+        assert(math.abs(exprPath(id).get - sc) < 1e-9,
+          s"doc $id at minCount=$minCount")
+      }
+      intercept[IllegalArgumentException] {
+        TextOps.collectSb(lm, maxEntries = 3L)
+      }
+      lm.release()
+    }
+  }
+
   test("perplexityBuckets: exact rank terciles match a driver-side replay, " +
     "duplicate texts tie on id, custom bucket count, release seam") {
     val train = Seq((1L, "a b a b c a b"), (2L, "b c a")).toDF("doc_id", "text")
