@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ImageExpressions.PHash64].getName, "phash64"),
       (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ImageExpressions.PHash64(e.head)))
+    ext.injectFunction((FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[ImageExpressions.DHash64].getName, "dhash64"),
+      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ImageExpressions.DHash64(e.head)))
     ext.injectFunction((FunctionIdentifier("img_psnr"),
       new ExpressionInfo(classOf[ImageExpressions.ImgPsnr].getName, "img_psnr"),
       (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -46,6 +46,8 @@ object ImageExpressions {
 
   def phashRow(img: InternalRow): Long = Imaging.averageHash(rowToRaster(img))
 
+  def dhashRow(img: InternalRow): Long = Imaging.differenceHash(rowToRaster(img))
+
   def psnrRow(a: InternalRow, b: InternalRow): Double =
     Imaging.psnr(rowToRaster(a), rowToRaster(b))
 
@@ -102,6 +104,22 @@ object ImageExpressions {
       nullSafeCodeGen(ctx, ev, img => s"${ev.value} = $cls.phashRow($img);")
     }
     override protected def withNewChildInternal(c: Expression): PHash64 = copy(c)
+  }
+
+  /** 64-bit difference hash — [[graft.kernels.Imaging.differenceHash]]'s
+    * horizontal-gradient signature; the aHash-complementing family for
+    * near-dup banding (dhash bits survive monotone brightness shifts). */
+  case class DHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "dhash64"
+    override def nullSafeEval(img: Any): Any =
+      ImageExpressions.dhashRow(img.asInstanceOf[InternalRow])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, img => s"${ev.value} = $cls.dhashRow($img);")
+    }
+    override protected def withNewChildInternal(c: Expression): DHash64 = copy(c)
   }
 
   case class ImgPsnr(left: Expression, right: Expression)
@@ -200,6 +218,8 @@ object ImageExpressions {
       GraftBridge.expression(img), GraftBridge.expression(maxPixels)))
   def phash64(img: Column): Column =
     GraftBridge.column(PHash64(GraftBridge.expression(img)))
+  def dhash64(img: Column): Column =
+    GraftBridge.column(DHash64(GraftBridge.expression(img)))
   def img_psnr(a: Column, b: Column): Column =
     GraftBridge.column(ImgPsnr(
       GraftBridge.expression(a), GraftBridge.expression(b)))

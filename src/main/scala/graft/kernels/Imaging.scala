@@ -272,6 +272,47 @@ object Imaging {
     bits
   }
 
+  /** 64-bit difference hash (dHash): greyscale means over a 9×8 grid, bit
+    * (row, col) set when cell(col+1) > cell(col) — a horizontal-gradient
+    * signature. Complements [[averageHash]] for near-dup banding: aHash
+    * thresholds against the global mean (sensitive to vignettes/brightness
+    * ramps), dHash encodes local ordering (invariant to monotone global
+    * brightness shifts). Same contract: 0L for degenerate rasters. */
+  def differenceHash(r: Raster): Long = {
+    val g = grey(r)
+    val cells = new Array[Double](72) // 9 cols × 8 rows
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * r.h / 8; val y1 = math.max(y0 + 1, (cy + 1) * r.h / 8)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * r.w / 9; val x1 = math.max(x0 + 1, (cx + 1) * r.w / 9)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += g(y * r.w + x); n += 1; x += 1 }
+          y += 1
+        }
+        cells(cy * 9 + cx) = s / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var row = 0
+    while (row < 8) {
+      var col = 0
+      while (col < 8) {
+        if (cells(row * 9 + col + 1) > cells(row * 9 + col))
+          bits |= (1L << (row * 8 + col))
+        col += 1
+      }
+      row += 1
+    }
+    bits
+  }
+
   // --------------------------------------------------------------------- PSNR
 
   /** PSNR in dB between two same-size rasters (parity gate: ≥40 dB for lossy). */

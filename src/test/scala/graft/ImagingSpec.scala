@@ -102,6 +102,52 @@ class ImagingSpec extends AnyFunSuite {
     assert(Imaging.averageHash(raster) != Imaging.averageHash(other))
   }
 
+  test("differenceHash: gradient saturation, uniform zero, monotone " +
+    "brightness-shift invariance (the property averageHash lacks), locality") {
+    def ramp(w: Int, h: Int, asc: Boolean): Imaging.Raster = {
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w
+        val v = (if (asc) x * 255 / (w - 1) else 255 - x * 255 / (w - 1)) & 0xff
+        (v << 16) | (v << 8) | v
+      }
+      Imaging.Raster(w, h, px)
+    }
+    // strictly increasing left→right: every gradient bit set; decreasing: none
+    assert(Imaging.differenceHash(ramp(36, 16, asc = true)) == -1L)
+    assert(Imaging.differenceHash(ramp(36, 16, asc = false)) == 0L)
+    assert(Imaging.differenceHash(Imaging.uniformRaster(64, 64, 0x707070)) == 0L)
+    // monotone global brightness shift preserves every cell ordering.
+    // The base must be TEXTURED (no exactly-tied adjacent cell means —
+    // a tie's outcome is FP noise and legitimately flips under the
+    // shifted products), and channels sit in [60, 180] so +40 can't clip.
+    def mapChannels(r: Imaging.Raster)(f: Int => Int): Imaging.Raster =
+      Imaging.Raster(r.w, r.h, r.pixels.map { p =>
+        (f((p >> 16) & 0xff) << 16) | (f((p >> 8) & 0xff) << 8) | f(p & 0xff)
+      })
+    val base = Imaging.Raster(96, 128, Array.tabulate(96 * 128) { i =>
+      val h = (i * 2654435761L) ^ ((i * 2654435761L) >>> 31)
+      val v = 60 + (h & 0x7fffffffL).toInt % 121
+      (v << 16) | (v << 8) | v
+    })
+    assert(Imaging.differenceHash(mapChannels(base)(_ + 40)) ==
+      Imaging.differenceHash(base))
+    // locality: a different synthetic image lands far away in Hamming space
+    val other = Imaging.syntheticRaster(42L, 9L, 96, 128)
+    val dist = java.lang.Long.bitCount(
+      Imaging.differenceHash(base) ^ Imaging.differenceHash(other))
+    assert(dist >= 12, s"distinct images only $dist bits apart")
+    // and the expression matches the kernel through the decoder
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.functions.ImageExpressions
+    val viaExpr = Seq(Tuple1(Imaging.encodePng(base))).toDF("img_bytes")
+      .select(ImageExpressions.dhash64(
+        ImageExpressions.decode_image(col("img_bytes"))).as("h"))
+      .as[Long].head()
+    assert(viaExpr == Imaging.differenceHash(base))
+  }
+
   test("uniform raster yields zero descriptors → VLAD zero-vector edge row") {
     val flat = Imaging.uniformRaster(64, 64, 0x808080)
     assert(GridPatchExtractor().extract(flat).isEmpty)
