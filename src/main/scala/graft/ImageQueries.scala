@@ -296,6 +296,29 @@ object ImageQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // dHash near-dup over DECODED pixels (not the synth phash column):
+    // exact copies are planted (hamming 0 — must pair; the spec-level
+    // brightness-shift gate lives in ImagingSpec where pixel edits are
+    // controlled). The smooth synthetic content also collides naturally at
+    // the 8×8 cell granularity — exactly the behavior a perceptual hash is
+    // for; the hot-bucket cap bounds those clusters. Same generalized
+    // banding/cap/verify core as phash/simhash.
+    "q_image_dhash_neardup" -> ((s, dir) => {
+      import graft.functions.ImageExpressions.{decode_image, dhash64}
+      val images = Synth.imageTable(s, nFor(dir))
+        .where(col("fmt").isin("png", "jpeg"))
+        .select(col("image_id"), decode_image(col("bytes")).as("img"))
+        .where(col("img").isNotNull)
+      val planted = images.where(pmod(xxhash64(col("image_id")), lit(5)) === 0)
+      val hashed = images
+        .unionByName(planted.select(
+          concat(col("image_id"), lit("_copy")).as("image_id"), col("img")))
+        .select(col("image_id"), dhash64(col("img")).as("dhash"))
+      graft.operators.Dedup.hammingPairs64(hashed, "image_id", "dhash",
+        maxHamming = 3, chunks = 4, maxBucket = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_image_surf" -> ((s, dir) => {
       import s.implicits._
       val ex = graft.extract.SurfLiteExtractor(detectThreshold = 1.0)
