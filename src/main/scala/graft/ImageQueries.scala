@@ -319,6 +319,40 @@ object ImageQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // The LAION-style image-dedup composition end-to-end: perceptual-hash
+    // pairs → connected components → keep the HIGHEST-RESOLUTION member of
+    // every near-dup cluster (keepBestRepresentatives, score = pixel count).
+    // Planted downscaled copies (same scene, a quarter the pixels) that band
+    // with their originals ALWAYS lose — pixel count is strictly smaller; a
+    // small tail whose hash drifts past the hamming radius stays singleton
+    // (the standard radius/recall tradeoff, ~90% grouped at driver scale).
+    // Text and image dedup share the same group/keep machinery — only the
+    // signature differs.
+    "q_image_dedup_keep" -> ((s, dir) => {
+      import graft.functions.ImageExpressions.{decode_image, dhash64, scale_max_pixels}
+      val images = Synth.imageTable(s, nFor(dir))
+        .where(col("fmt").isin("png", "jpeg"))
+        .select(col("image_id"), decode_image(col("bytes")).as("img"))
+        .where(col("img").isNotNull)
+      // plant downscaled variants: same scene, fewer pixels
+      val planted = images.where(pmod(xxhash64(col("image_id")), lit(4)) === 0)
+        .select(concat(col("image_id"), lit("_small")).as("image_id"),
+          scale_max_pixels(col("img"),
+            ((col("img.w").cast("long") * col("img.h")) / 4).cast("long"))
+            .as("img"))
+      val all = images.unionByName(planted)
+        .select(col("image_id"), col("img"),
+          (col("img.w").cast("long") * col("img.h")).as("n_pixels"))
+      val pairs = graft.operators.Dedup.hammingPairs64(
+        all.select(col("image_id"), dhash64(col("img")).as("dhash")),
+        "image_id", "dhash", maxHamming = 3, chunks = 4, maxBucket = 1000)
+      val groups = graft.operators.Dedup.connectedComponents(pairs)
+      graft.operators.Dedup.keepBestRepresentatives(
+          all.select("image_id", "n_pixels"), "image_id", groups,
+          col("n_pixels"))
+        .orderBy("image_id")
+    }),
+
     "q_image_surf" -> ((s, dir) => {
       import s.implicits._
       val ex = graft.extract.SurfLiteExtractor(detectThreshold = 1.0)
