@@ -160,4 +160,61 @@ class PlanSpec extends AnyFunSuite {
         s"$q must stay UDF-free")
     }
   }
+
+  test("blocklist is a single-projection plan like the other row-local ops") {
+    val plan = planOf(SparkEntry.queries("q_blocklist")(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1, plan.take(800))
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("DSIR selection: broadcast ratio join, n-grams projected to buckets " +
+    "before the doc aggregate, TakeOrderedAndProject top-k — no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val target = docs.where(col("source").isin("src0"))
+    val model = graft.operators.Dsir.dsirModel(docs, target, "text",
+      buckets = 1024)
+    try {
+      val plan = planOf(graft.operators.Dsir.dsirResample(
+        docs, "doc_id", "text", model, n = 20))
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+      assert(plan.contains("BroadcastHashJoin"),
+        "the <=B-row ratio table must broadcast")
+      // partial-combine per doc before the exchange
+      assert(plan.contains("partial_count"), plan.take(1000))
+      // the n-gram string column never appears in an Exchange line — only
+      // (bucket) longs and doc sums shuffle
+      val exch = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exch.forall(l => !l.contains("ng#")), s"ngram text in exchange: $exch")
+    } finally model.release()
+  }
+
+  test("Stupid Backoff scoring: no Window, no self-join of the corpus — " +
+    "context keys packed row-locally; per-doc aggregate is partial+final") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = graft.operators.TextOps.stupidBackoffLm(docs, "text")
+    try {
+      val plan = planOf(graft.operators.TextOps.sbScore(
+        docs, "doc_id", "text", lm))
+      assert(!plan.contains("Window"), "context must come from the token " +
+        "array, not lag/lead windows")
+      assert(plan.contains("partial_count"), plan.take(1000))
+      assert(!plan.contains("ScalaUDF"))
+      // the three model tables read from their persisted stages (their
+      // InMemoryRelation subtrees reprint the original scans, so a raw
+      // parquet-scan count is not meaningful here)
+      assert(plan.contains("InMemoryTableScan"),
+        "count tables must read from the persisted model")
+    } finally lm.release()
+  }
+
+  test("IVFADC+R re-rank: candidate ids broadcast back onto the vector scan; " +
+    "final k is the bounded_top_k ObjectHashAggregate, no Window") {
+    val plan = planOf(SparkEntry.queries("q_embed_rerank")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidates and queries must broadcast onto the corpus scan")
+    assert(!plan.contains("Window"))
+    assert(plan.contains("vec_squared_l2"), "exact re-rank must use the " +
+      "native expression")
+  }
 }
