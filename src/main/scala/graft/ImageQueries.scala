@@ -340,17 +340,20 @@ object ImageQueries {
           scale_max_pixels(col("img"),
             ((col("img.w").cast("long") * col("img.h")) / 4).cast("long"))
             .as("img"))
+      // the decoded stage feeds the signature pass, the score join AND the
+      // final anti-join — persist it once (decode dominates this query)
       val all = images.unionByName(planted)
-        .select(col("image_id"), col("img"),
+        .select(col("image_id"), dhash64(col("img")).as("dhash"),
           (col("img.w").cast("long") * col("img.h")).as("n_pixels"))
-      val pairs = graft.operators.Dedup.hammingPairs64(
-        all.select(col("image_id"), dhash64(col("img")).as("dhash")),
-        "image_id", "dhash", maxHamming = 3, chunks = 4, maxBucket = 1000)
-      val groups = graft.operators.Dedup.connectedComponents(pairs)
-      graft.operators.Dedup.keepBestRepresentatives(
-          all.select("image_id", "n_pixels"), "image_id", groups,
+      graft.operators.Dedup.withPersistedStage(all) { a =>
+        val pairs = graft.operators.Dedup.hammingPairs64(
+          a.select("image_id", "dhash"),
+          "image_id", "dhash", maxHamming = 3, chunks = 4, maxBucket = 1000)
+        val groups = graft.operators.Dedup.connectedComponents(pairs)
+        graft.operators.Dedup.keepBestRepresentatives(
+          a.select("image_id", "n_pixels"), "image_id", groups,
           col("n_pixels"))
-        .orderBy("image_id")
+      }.orderBy("image_id")
     }),
 
     "q_image_surf" -> ((s, dir) => {

@@ -20,6 +20,26 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic IVFPQ model minted from the first 16 embeddings —
+    * SHARED by q_embed_ivfpq and q_embed_rerank, whose DuckDB oracles both
+    * hardcode this exact construction (8 centroids from the head, m=8
+    * sub-blocks of length dim/8, k_s=16 codewords carved from the same 16
+    * vectors); a drift between the two queries would silently desync one
+    * oracle. Returns (head vectors, coarse centroids, PQ model). */
+  private def mintIvfPq(emb: DataFrame)
+      : (Array[Array[Double]], Array[Array[Double]], graft.kernels.Kernels.PqModel) = {
+    val head = emb.where(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = head.take(8)
+    val dim = head(0).length
+    val m = 8; val kS = 16; val subLen = dim / m
+    val pq = graft.kernels.Kernels.PqModel(Array.tabulate(m)(j =>
+      Array.tabulate(kS)(i =>
+        java.util.Arrays.copyOfRange(head(i), j * subLen, (j + 1) * subLen))))
+    (head, centroids, pq)
+  }
+
   /** DuckDB replay of [[graft.operators.Curation.stripMarkup]]: the same
     * regexp_replace chain over `inner`, patterns interpolated from the SAME
     * Curation constants (RE2 ∩ Java regex by construction — no lookaround,
@@ -591,10 +611,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val lm = TextOps.bigramLm(docs, "text", k = 0.1)
-      TextOps.lmScore(docs, "doc_id", "text", lm)
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("cross_entropy"), 6).as("cross_entropy"))
-        .orderBy("doc_id")
+      try {
+        TextOps.lmScore(docs, "doc_id", "text", lm)
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("cross_entropy"), 6).as("cross_entropy"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally lm.release()
     }),
 
     // Stupid Backoff trigram scoring (Brants et al. 2007 — the smoothing
@@ -624,13 +647,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val lm = TextOps.bigramLm(docs, "text", k = 0.1)
-      TextOps.perplexityBucketsWith(docs, "doc_id", "text", lm) { b =>
-        b.select(col("doc_id"), col("n_bigrams"),
-            round(col("cross_entropy"), 6).as("cross_entropy"),
-            col("bucket_id"), col("bucket"))
-          .orderBy("doc_id")
-          .localCheckpoint(true)
-      }
+      try {
+        TextOps.perplexityBucketsWith(docs, "doc_id", "text", lm) { b =>
+          b.select(col("doc_id"), col("n_bigrams"),
+              round(col("cross_entropy"), 6).as("cross_entropy"),
+              col("bucket_id"), col("bucket"))
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+        }
+      } finally lm.release()
     }),
 
     // Learned BPE tokenization end-to-end: distributed word-count aggregate →
@@ -1146,15 +1171,7 @@ object SparkEntry {
     // sums with list arithmetic; SimilaritySpec covers the scalar kernels.
     "q_embed_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val head = emb.where(col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val centroids = head.take(8)
-      val dim = head(0).length
-      val m = 8; val kS = 16; val subLen = dim / m
-      val pq = graft.kernels.Kernels.PqModel(Array.tabulate(m)(j =>
-        Array.tabulate(kS)(i =>
-          java.util.Arrays.copyOfRange(head(i), j * subLen, (j + 1) * subLen))))
+      val (head, centroids, pq) = mintIvfPq(emb)
       // index build once (materialized — three searches scan it, the way a
       // snapshot-backed index is written once and probed many times)
       val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", centroids, pq)
@@ -1173,15 +1190,7 @@ object SparkEntry {
     // re-rank end-to-end in SQL.
     "q_embed_rerank" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val head = emb.where(col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val centroids = head.take(8)
-      val dim = head(0).length
-      val m = 8; val kS = 16; val subLen = dim / m
-      val pq = graft.kernels.Kernels.PqModel(Array.tabulate(m)(j =>
-        Array.tabulate(kS)(i =>
-          java.util.Arrays.copyOfRange(head(i), j * subLen, (j + 1) * subLen))))
+      val (head, centroids, pq) = mintIvfPq(emb)
       val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", centroids, pq)
         .localCheckpoint(true)
       Similarity.ivfPqSearchRerank(enc, emb, "vec_id", "embedding",
@@ -2192,12 +2201,12 @@ object SparkEntry {
         |FROM s3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // CCNet head/middle/tail buckets: the q_lm_perplexity replay plus an
-    // exact-rank tercile layer. Rank is ROW_NUMBER under (raw cross_entropy,
-    // doc_id) — raw values across engines differ only at ~1e-15 relative,
-    // far below any spacing between DISTINCT documents' cross-entropies,
-    // and exact-duplicate texts tie identically in both engines (doc_id
-    // breaks). bucket_id = min(floor(rank*3/n), 2): rank*3 and n are exact
-    // in double, so the division rounds identically in both engines.
+    // exact-rank tercile layer. Rank is ROW_NUMBER under (ROUND(ce, 6),
+    // doc_id) — the rounded key is the precision the oracle layer already
+    // proves cross-engine, and quantizing kills FP merge-order noise so
+    // equal-content docs tie deterministically on doc_id in BOTH engines.
+    // bucket_id = min(floor(rank*3/n), 2): rank*3 and n are exact in
+    // double, so the division rounds identically in both engines.
     "q_perplexity_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
@@ -2224,7 +2233,7 @@ object SparkEntry {
         |  GROUP BY b.doc_id
         |), ranked AS (
         |  SELECT doc_id, n_bigrams, ce,
-        |    ROW_NUMBER() OVER (ORDER BY ce, doc_id) - 1 AS rnk,
+        |    ROW_NUMBER() OVER (ORDER BY ROUND(ce, 6), doc_id) - 1 AS rnk,
         |    COUNT(*) OVER () AS n
         |  FROM scored
         |)

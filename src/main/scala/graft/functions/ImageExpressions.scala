@@ -242,6 +242,7 @@ object ImageExpressions {
     reg.createOrReplaceTempFunction("decode_image", e => DecodeImage(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("scale_max_pixels", e => ScaleMaxPixels(e.head, e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("phash64", e => PHash64(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dhash64", e => DHash64(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("img_psnr", e => ImgPsnr(e.head, e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("img_flip_h", e => ImgFlipH(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("img_rotate90", e => ImgRotate90(e.head, e(1)), "scala_udf")

@@ -171,6 +171,46 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** (pos, token, previous token, token two back) for every token of `text`
+    * — the n-gram scoring context table, packed in ONE compiled pass (the
+    * HOF transform/element_at formulation evaluates an interpreted lambda
+    * per token; per-token loops belong here). w1/w2 are null at the
+    * document head. */
+  def tokenContextsEval(text: UTF8String): ArrayData = {
+    val toks = text.toString.trim match {
+      case "" => Array.empty[String]
+      case t => t.split("\\s+")
+    }
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, UTF8String.fromString(toks(i)),
+          if (i >= 1) UTF8String.fromString(toks(i - 1)) else null,
+          if (i >= 2) UTF8String.fromString(toks(i - 2)) else null))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class TokenContexts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("w", StringType, nullable = false),
+      StructField("w1", StringType, nullable = true),
+      StructField("w2", StringType, nullable = true))), containsNull = false)
+    override def prettyName: String = "token_contexts"
+    override def nullSafeEval(text: Any): Any =
+      TextExpressions.tokenContextsEval(text.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $cls.tokenContextsEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): TokenContexts =
+      copy(child = c)
+  }
+
   case class WordShingles(child: Expression, n: Int, distinct: Boolean)
       extends UnaryExpression {
     require(n > 0)
@@ -213,6 +253,8 @@ object TextExpressions {
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), numHashes))
+  def token_contexts(text: Column): Column =
+    GraftBridge.column(TokenContexts(GraftBridge.expression(text)))
   def word_shingles(text: Column, n: Int, distinct: Boolean = false): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n, distinct))
   def drop_token_ranges(text: Column, ranges: Column): Column =

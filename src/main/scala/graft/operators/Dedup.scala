@@ -364,10 +364,17 @@ object Dedup {
                               higherIsBetter: Boolean = true): DataFrame = {
     val scored = groups.join(
       df.select(col(idCol).as("id"), score.as("__score")), Seq("id"))
-    val winners = Similarity.topKPerGroup(scored, Seq("group_id"), "__score",
+    val winners = Similarity.topKPerGroup(
+        scored.where(col("__score").isNotNull), Seq("group_id"), "__score",
         "id", k = 1, ascending = !higherIsBetter)
-      .select(col("id"))
-    val losers = groups.select("id").join(winners, Seq("id"), "left_anti")
+      .select(col("group_id"), col("id"))
+    // a group whose members ALL score NULL still keeps one representative —
+    // fall back to the min-id pick (never silently delete a whole cluster)
+    val fallback = scored
+      .join(winners.select("group_id"), Seq("group_id"), "left_anti")
+      .groupBy(col("group_id")).agg(min(col("id")).as("id"))
+    val keepIds = winners.select("id").unionByName(fallback.select("id"))
+    val losers = groups.select("id").join(keepIds, Seq("id"), "left_anti")
     df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 

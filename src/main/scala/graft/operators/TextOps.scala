@@ -431,10 +431,12 @@ object TextOps {
    * CCNet-style perplexity BUCKETS (Wenzek et al. 2019, arXiv:1911.00359
    * §4.3: corpora split into head / middle / tail by LM-perplexity
    * quantile; training mixes then sample by bucket). Cutoffs are EXACT
-   * rank terciles under the total order (cross_entropy, id) — order
-   * statistics, not interpolated percentiles, so bucket membership is a
-   * pure function of the data and replays exactly in any engine (an
-   * interpolated cutoff is FP-fragile at bucket borders). Rank uses the
+   * rank quantiles under the total order (round(cross_entropy, 6), id) —
+   * order statistics, not interpolated percentiles, so bucket membership
+   * is a pure function of the data and replays exactly in any engine (an
+   * interpolated cutoff is FP-fragile at bucket borders; the 6-dp rounding
+   * of the rank key absorbs FP merge-order noise so equal-content docs tie
+   * deterministically on id). Rank uses the
    * [[vocabulary]] machinery: range-partitioned global sort + zipWithIndex
    * — distributed, never a single-task Window. The scored stage is
    * persisted (it feeds the count and the sort); release via the returned
@@ -454,7 +456,14 @@ object TextOps {
       .select(col(idCol), col("n_bigrams"), col("cross_entropy"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = scored.count()
-    val sorted = scored.orderBy(col("cross_entropy"), col(idCol))
+    // Rank key is cross_entropy ROUNDED to 6 decimals (the same precision
+    // the oracle layer already proves cross-engine), tie-broken by id: the
+    // raw per-doc sum merges partials in partition-fetch order, so two
+    // equal-content docs can differ by ~1e-16 run-to-run — ranking raw
+    // values would make bucket membership nondeterministic exactly where
+    // the tie-break should decide. 1e-6 quantization is far below any
+    // linguistic CE difference and far above FP merge noise.
+    val sorted = scored.orderBy(round(col("cross_entropy"), 6), col(idCol))
     val schema = sorted.schema.add("__rank",
       org.apache.spark.sql.types.LongType, nullable = false)
     val ranked = spark.createDataFrame(
@@ -563,10 +572,11 @@ object TextOps {
    * absent.
    *
    * Scale shape: context keys are assembled ROW-LOCALLY from the token
-   * array (one transform pass per document — per-token struct packing, no
-   * Window, no self-join), then one explode feeds five model joins keyed on
-   * n-gram strings and a per-id aggregate: shuffles carry n-grams and ids,
-   * never document text. Returns (idCol, n_tokens, sb_logscore).
+   * array by the native compiled `token_contexts` expression (one pass per
+   * document — no interpreted per-token lambda, no Window, no self-join),
+   * then one explode feeds five model joins keyed on n-gram strings and a
+   * per-id aggregate: shuffles carry n-grams and ids, never document text.
+   * Returns (idCol, n_tokens, sb_logscore).
    */
   def sbScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
               textCol: String, model: SbLm): org.apache.spark.sql.DataFrame = {
@@ -574,12 +584,8 @@ object TextOps {
     val n = model.total.toDouble
     val a = model.alpha
     val pos = docs
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) > 0)
-      .select(col(idCol), explode(transform(col("__t"), (w, i) => struct(
-        i.as("pos"), w.as("w"),
-        when(i >= 1, element_at(col("__t"), i)).as("w1"),
-        when(i >= 2, element_at(col("__t"), i - 1)).as("w2")))).as("p"))
+      .select(col(idCol), explode(
+        graft.functions.TextExpressions.token_contexts(col(textCol))).as("p"))
       .select(col(idCol), col("p.pos").as("pos"), col("p.w").as("w"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
       .withColumn("bgk", concat_ws(" ", col("w1"), col("w")))

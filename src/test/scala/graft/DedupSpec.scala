@@ -121,6 +121,18 @@ class DedupSpec extends AnyFunSuite {
         nToks, higherIsBetter = false)
       .select("doc_id").as[Long].collect().toSet
     (10L until 20L).foreach(id => assert(keptWorst(id) && !keptWorst(id + 2000)))
+    // NULL scores: a group whose members all score NULL keeps its min-id
+    // member (never a silently deleted cluster); mixed groups ignore the
+    // NULL member for winning but still drop it as a loser
+    val nullDocs = Seq((1L, null), (2L, null), (3L, "x"), (4L, null))
+      .toDF("doc_id", "text").withColumn("n",
+        when(col("text").isNotNull, length(col("text"))))
+    val nullGroups = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "group_id")
+    val keptNull = Dedup.keepBestRepresentatives(nullDocs, "doc_id",
+        nullGroups, col("n"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNull == Set(1L, 3L), s"got $keptNull")
   }
 
   test("minhashLshPairs ⊆ exact pairs at same threshold, recall ≥ 0.9 on dupes") {

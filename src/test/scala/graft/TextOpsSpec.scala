@@ -455,9 +455,11 @@ class TextOpsSpec extends AnyFunSuite {
       .select("doc_id", "cross_entropy", "bucket_id", "bucket")
       .as[(Long, Double, Int, String)].collect()
     assert(got.map(_._1).toSet == Set(10L, 11L, 12L, 13L, 14L, 15L, 20L, 21L))
-    // driver-side replay: sort by (ce, id), bucket = min(floor(rank*3/n), 2)
+    // driver-side replay: sort by (round(ce, 6), id) — the operator's
+    // FP-noise-proof rank key — bucket = min(floor(rank*3/n), 2)
     val n = got.length
-    val expected = got.sortBy(r => (r._2, r._1)).zipWithIndex.map {
+    def key6(ce: Double) = BigDecimal(ce).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = got.sortBy(r => (key6(r._2), r._1)).zipWithIndex.map {
       case (r, rank) => r._1 -> math.min(rank * 3 / n, 2)
     }.toMap
     got.foreach { case (id, _, b, name) =>
