@@ -549,6 +549,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TRAINED langid: multinomial NB over char trigrams (the fastText-
+    // shaped upgrade of the heuristic q_langid). The corpus text carries no
+    // language signal by construction, so per-lang marker tokens are
+    // synthesized per row (replayed verbatim by the oracle) — the model
+    // must LEARN them; train (counts, totals, priors, V) and predict
+    // (smoothed log-likelihood sum + prior + argmax) replay end-to-end.
+    "q_langid_nb" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), concat(col("text"),
+          lit(" qx"), col("lang"), lit(" qx"), col("lang"),
+          lit(" qx"), col("lang")).as("text"))
+      val model = TextOps.nbLangModel(docs, "lang", "text", n = 3, k = 1.0)
+      try {
+        TextOps.nbLangId(docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("lang").as("lang_pred"),
+            round(col("score"), 6).as("score"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally model.release()
+    }),
+
     // Rolling-hash document fingerprint (xxhash64 — no SQL oracle).
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1705,6 +1727,48 @@ object SparkEntry {
         |  WHEN h_en >= h_de THEN 'en'
         |  ELSE 'de' END AS lang_pred
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    // NB langid replayed end-to-end: marker synthesis, char-trigram counts
+    // (substr is character-based in DuckDB; the Spark expression iterates
+    // code points to match), per-lang totals, doc priors, V, add-1 smoothing
+    // and the (score DESC, lang ASC) argmax.
+    "q_langid_nb" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    text || ' qx' || lang || ' qx' || lang || ' qx' || lang AS text
+        |  FROM documents
+        |), tris AS (
+        |  SELECT doc_id, lang,
+        |    unnest([substr(s, i, 3) for i in range(1, len(s) - 1)]) AS tri
+        |  FROM (SELECT doc_id, lang, TRIM(text) AS s FROM docs)
+        |), cnts AS (
+        |  SELECT lang, tri, COUNT(*) AS cnt FROM tris GROUP BY lang, tri
+        |), cls AS (
+        |  SELECT c.lang, SUM(cnt) AS n_tris, ANY_VALUE(d.n_docs) AS n_docs
+        |  FROM cnts c JOIN (
+        |    SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY lang) d
+        |    USING (lang)
+        |  GROUP BY c.lang
+        |), consts AS (
+        |  SELECT (SELECT COUNT(DISTINCT tri) FROM cnts) AS v,
+        |         (SELECT COUNT(*) FROM docs) AS total
+        |), scored AS (
+        |  SELECT t.doc_id, cl.lang,
+        |    SUM(LN((COALESCE(c.cnt, 0) + 1.0) /
+        |      (CAST(cl.n_tris AS DOUBLE) + 1.0 * consts.v))) AS ll
+        |  FROM (SELECT doc_id, tri FROM tris) t
+        |  CROSS JOIN cls cl CROSS JOIN consts
+        |  LEFT JOIN cnts c ON c.lang = cl.lang AND c.tri = t.tri
+        |  GROUP BY t.doc_id, cl.lang
+        |), post AS (
+        |  SELECT s.doc_id, s.lang,
+        |    s.ll + LN(CAST(cl.n_docs AS DOUBLE) / consts.total) AS score
+        |  FROM scored s JOIN cls cl USING (lang) CROSS JOIN consts
+        |)
+        |SELECT doc_id, lang AS lang_pred, ROUND(score, 6) AS score
+        |FROM (SELECT post.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, lang ASC) AS rn FROM post)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_rare_tokens" ->
       """WITH toks AS (

@@ -171,6 +171,38 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** Character n-grams over the TRIMMED text (spaces inside kept — word
+    * boundaries carry language signal), iterated by Unicode CODE POINTS so
+    * the semantics match SQL engines' character-based substr (UTF-16
+    * char-unit slicing would split surrogate pairs and diverge). */
+  def charShinglesEval(text: UTF8String, n: Int): ArrayData = {
+    val cps = text.toString.trim.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cps.length - n + 1)
+    var i = 0
+    while (i <= cps.length - n) {
+      out(i) = UTF8String.fromString(new String(cps, i, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class CharShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n > 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "char_shingles"
+    override def nullSafeEval(text: Any): Any =
+      TextExpressions.charShinglesEval(text.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $cls.charShinglesEval($c, $n);")
+    }
+    override protected def withNewChildInternal(c: Expression): CharShingles =
+      copy(child = c)
+  }
+
   /** (pos, token, previous token, token two back) for every token of `text`
     * — the n-gram scoring context table, packed in ONE compiled pass (the
     * HOF transform/element_at formulation evaluates an interpreted lambda
@@ -255,6 +287,8 @@ object TextExpressions {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), numHashes))
   def token_contexts(text: Column): Column =
     GraftBridge.column(TokenContexts(GraftBridge.expression(text)))
+  def char_shingles(text: Column, n: Int): Column =
+    GraftBridge.column(CharShingles(GraftBridge.expression(text), n))
   def word_shingles(text: Column, n: Int, distinct: Boolean = false): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n, distinct))
   def drop_token_ranges(text: Column, ranges: Column): Column =

@@ -615,6 +615,83 @@ object TextOps {
         (col("__s") / col("n_tokens")).as("sb_logscore"))
   }
 
+  /**
+   * Trained Naive Bayes language identifier over character n-grams — the
+   * fastText/CCNet-shaped REPLACEMENT for heuristic langid when labeled
+   * text exists (Joulin et al. 2016 use char n-gram features exactly so;
+   * multinomial NB is its closed-form count-based cousin, and every number
+   * here replays in SQL). Model = per-(lang, trigram) counts + per-lang
+   * totals + doc priors, all DataFrames with the [[BigramLm]] release
+   * contract; training is one explode + two keyed aggregates (shuffles
+   * carry character n-grams, never documents).
+   */
+  final case class NbLang(counts: org.apache.spark.sql.DataFrame,
+                          classes: org.apache.spark.sql.DataFrame,
+                          totalDocs: Long, vocabSize: Long,
+                          k: Double, n: Int) {
+    def release(): Unit = {
+      counts.unpersist(blocking = false)
+      classes.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  def nbLangModel(train: org.apache.spark.sql.DataFrame, langCol: String,
+                  textCol: String, n: Int = 3, k: Double = 1.0): NbLang = {
+    require(n > 0 && k > 0)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val counts = train.select(col(langCol).as("lang"),
+        explode(graft.functions.TextExpressions.char_shingles(
+          col(textCol), n)).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .persist(MEMORY_AND_DISK)
+    val classes = counts.groupBy("lang").agg(sum("cnt").as("n_tris"))
+      .join(train.groupBy(col(langCol).as("lang"))
+        .agg(count(lit(1)).as("n_docs")), Seq("lang"))
+      .persist(MEMORY_AND_DISK)
+    val totalDocs = train.count()
+    val v = counts.select("tri").distinct().count()
+    NbLang(counts, classes, totalDocs, v, k, n)
+  }
+
+  /**
+   * Predict the language of every document under an [[NbLang]] model:
+   * argmax over classes of log prior + Σ log P̂(trigram | lang) with add-k
+   * smoothing. Scale shape: one explode to (id, trigram) occurrence rows, a
+   * broadcast cross join against the (|langs|-row) class table, one left
+   * join against the count model, a per-(id, lang) partial-combined
+   * aggregate and a bounded-heap top-1 — documents never shuffle, and the
+   * per-doc work is |langs|× the trigram count (fine for real language
+   * sets; a 10⁴-class taxonomy would want a different join shape).
+   * Documents shorter than n characters are absent (no features). Ties
+   * break to the lexicographically first language. Returns
+   * (idCol, lang = predicted class, score = log posterior up to the
+   * constant evidence term).
+   */
+  def nbLangId(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, model: NbLang): org.apache.spark.sql.DataFrame = {
+    require(model.vocabSize > 0, "nbLangId: empty model")
+    val kV = model.k * model.vocabSize
+    val tris = docs.select(col(idCol),
+      explode(graft.functions.TextExpressions.char_shingles(
+        col(textCol), model.n)).as("tri"))
+    val scored = tris
+      .crossJoin(broadcast(model.classes.select(col("lang"), col("n_tris"))))
+      .join(model.counts, Seq("lang", "tri"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(log((coalesce(col("cnt"), lit(0L)) + model.k) /
+        (col("n_tris") + kV))).as("__ll"))
+    val withPrior = scored
+      .join(broadcast(model.classes.select(col("lang"),
+        log(col("n_docs") / model.totalDocs.toDouble).as("__prior"))),
+        Seq("lang"))
+      .select(col(idCol), col("lang"),
+        (col("__ll") + col("__prior")).as("score"))
+    Similarity.topKPerGroup(withPrior, Seq(idCol), "score", "lang",
+        k = 1, ascending = false)
+      .drop("rank")
+  }
+
   /** Collect an [[SbLm]] into the broadcastable driver-state form the
     * native `sb_score` expression reads — the low-latency / streaming twin
     * (the [[collectLm]] contract: `maxEntries` guards against collecting a

@@ -413,6 +413,43 @@ class TextOpsSpec extends AnyFunSuite {
     pruned.release()
   }
 
+  test("nbLangId: learns distinctive char trigrams (held-out accuracy), " +
+    "driver-side NB replay, short docs absent, tie-break, release seam") {
+    val train = (
+      (1 to 15).map(i => (s"aaa$i", "xx", "wombat wizard waffle wood")) ++
+      (1 to 15).map(i => (s"bbb$i", "yy", "zebra zigzag zodiac zoom"))
+    ).toDF("id", "lang", "text")
+    val model = TextOps.nbLangModel(train, "lang", "text", n = 3, k = 1.0)
+    val test = Seq((1L, "wizard wood"), (2L, "zoom zebra"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.nbLangId(test, "doc_id", "text", model)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L)) // "ab" has no trigram
+    assert(got(1L)._2 == "xx" && got(2L)._2 == "yy")
+    // driver-side NB replay of doc 1's score under both classes
+    def tris(s: String) = s.trim.sliding(3).toSeq
+    val cnts = train.collect().map(r => (r.getString(1), r.getString(2)))
+      .flatMap { case (l, t) => tris(t).map(l -> _) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val v = cnts.keys.map(_._2).toSet.size
+    val nTris = cnts.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    def score(doc: String, l: String): Double =
+      tris(doc).map(tr => math.log(
+        (cnts.getOrElse((l, tr), 0L) + 1.0) / (nTris(l) + 1.0 * v))).sum +
+        math.log(15.0 / 30.0)
+    val best = Seq("xx", "yy").map(l => l -> score("wizard wood", l))
+      .maxBy { case (l, sc) => (sc, l) }
+    assert(best._1 == "xx" &&
+      math.abs(got(1L)._3 - best._2) < 1e-9)
+    // partitioning invariance of the trained model + predictions
+    val model13 = TextOps.nbLangModel(train.repartition(13), "lang", "text")
+    val got13 = TextOps.nbLangId(test.repartition(7), "doc_id", "text", model13)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got13 == got.map { case (k, r) => k -> r._2 })
+    model13.release()
+    model.release(); model.release() // idempotent
+  }
+
   test("sbScoreBroadcast: term-identical to the join-based sbScore (order-" +
     "noise only) incl. under pruning; NULL for token-less docs; size guard") {
     val train = Seq((1L, "a b c a b d e f a b c"), (2L, "b c a d e"))
