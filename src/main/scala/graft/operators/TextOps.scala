@@ -692,6 +692,44 @@ object TextOps {
       .drop("rank")
   }
 
+  /** Collect an [[NbLang]] into the broadcastable driver-state form the
+    * native `nb_lang` expression reads — the streaming / low-latency twin
+    * of [[nbLangId]] (langid models are tiny by construction; the guard is
+    * the [[collectLm]] contract, counted BEFORE collecting). Labels are
+    * sorted so the expression's strict-> argmax reproduces the join path's
+    * lexicographic tie-break. */
+  def collectNb(model: NbLang,
+                maxEntries: Long = 20000000L): graft.functions.NbExpressions.LocalNb = {
+    val n = model.counts.count()
+    require(n <= maxEntries,
+      s"collectNb: count table has $n entries (> $maxEntries) — " +
+        "use the join-based nbLangId for models this large")
+    val classes = model.classes.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // (lang, n_tris, n_docs)
+    val idx = classes.map(_._1).zipWithIndex.toMap
+    val counts = Array.fill(classes.length)(
+      new java.util.HashMap[String, java.lang.Long]())
+    model.counts.collect().foreach { r =>
+      counts(idx(r.getString(0)))
+        .put(r.getString(1), java.lang.Long.valueOf(r.getLong(2)))
+    }
+    graft.functions.NbExpressions.LocalNb(
+      classes.map(_._1),
+      classes.map(c => math.log(c._3 / model.totalDocs.toDouble)),
+      counts,
+      classes.map(c => c._2 + model.k * model.vocabSize),
+      model.k, model.n)
+  }
+
+  /** Row-local NB language prediction under a broadcast [[collectNb]]
+    * model — term-identical to [[nbLangId]]'s argmax up to summation
+    * order; NULL for documents shorter than n characters. */
+  def nbLangIdBroadcast(text: Column,
+                        model: org.apache.spark.broadcast.Broadcast[
+                          graft.functions.NbExpressions.LocalNb]): Column =
+    graft.functions.NbExpressions.nb_lang(text, model)
+
   /** Collect an [[SbLm]] into the broadcastable driver-state form the
     * native `sb_score` expression reads — the low-latency / streaming twin
     * (the [[collectLm]] contract: `maxEntries` guards against collecting a

@@ -160,6 +160,16 @@ object StreamingOps {
     docs.withColumn("sb_logscore",
       graft.operators.TextOps.sbScoreBroadcast(col(textCol), lm))
 
+  /** In-flight language tagging: append `lang_pred` via the broadcast NB
+    * expression — the trained-langid door for language-filtered ingest
+    * (pair with `.where(col("lang_pred").isin(...))`). Docs shorter than
+    * the model's n characters tag NULL. */
+  def langIdStream(docs: DataFrame, textCol: String,
+                   model: org.apache.spark.broadcast.Broadcast[
+                     graft.functions.NbExpressions.LocalNb]): DataFrame =
+    docs.withColumn("lang_pred",
+      graft.operators.TextOps.nbLangIdBroadcast(col(textCol), model))
+
   /** In-flight C4 bad-words door: drop any doc containing a blocklist term
     * — one compiled regex pass, no state, batch-identical by construction
     * ([[graft.operators.Curation.filterBlocklist]] is pure row-local). */

@@ -330,6 +330,11 @@ class StreamingSpec extends AnyFunSuite {
       train.where(col("label") === 1).withColumnRenamed("text", "t"), "t")
     val sbBc = spark.sparkContext.broadcast(graft.operators.TextOps.collectSb(sbLm))
     sbLm.release()
+    val nbModel = graft.operators.TextOps.nbLangModel(
+      train.withColumn("lg", when(col("label") === 1, "good").otherwise("web")),
+      "lg", "text")
+    val nbBc = spark.sparkContext.broadcast(graft.operators.TextOps.collectNb(nbModel))
+    nbModel.release()
     val kws = Seq("bad", "badword")
     val data = Seq(
       (1L, "theorem proof lemma spark plan 3"), // quality, clean
@@ -338,10 +343,12 @@ class StreamingSpec extends AnyFunSuite {
       (4L, "plain bad stuff"))                   // blocked
     def curate(df: org.apache.spark.sql.DataFrame) =
       StreamingOps.blocklistAtDoor(
-        StreamingOps.sbScoreStream(
-          StreamingOps.dsirScoreStream(
-            StreamingOps.classifyStream(df, "text", clf), "text", ratios),
-          "text", sbBc),
+        StreamingOps.langIdStream(
+          StreamingOps.sbScoreStream(
+            StreamingOps.dsirScoreStream(
+              StreamingOps.classifyStream(df, "text", clf), "text", ratios),
+            "text", sbBc),
+          "text", nbBc),
         "text", kws)
     val input = MemoryStream[(Long, String)]
     val q = curate(input.toDF().toDF("doc_id", "text"))
@@ -350,15 +357,21 @@ class StreamingSpec extends AnyFunSuite {
     input.addData(data: _*)
     q.processAllAvailable(); q.stop()
     val got = spark.table("cdsb_out")
-      .select("doc_id", "quality_prob", "dsir_log_weight", "sb_logscore")
-      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+      .select("doc_id", "quality_prob", "dsir_log_weight", "sb_logscore",
+        "lang_pred")
+      .as[(Long, Double, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
     val want = curate(data.toDF("doc_id", "text"))
-      .select("doc_id", "quality_prob", "dsir_log_weight", "sb_logscore")
-      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+      .select("doc_id", "quality_prob", "dsir_log_weight", "sb_logscore",
+        "lang_pred")
+      .as[(Long, Double, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
     assert(got.keySet == Set(1L, 2L) && got == want) // 3,4 blocked at door
     // the signals separate in flight exactly like in batch
     assert(got(1L)._2 > got(2L)._2, "classifier must favor the quality doc")
     assert(got(1L)._3 > got(2L)._3, "DSIR must favor the target-like doc")
     assert(got(1L)._4 < got(2L)._4, "SB must score the in-domain doc lower")
+    assert(got(1L)._5 == "good" && got(2L)._5 == "web",
+      "NB langid must tag the streams like batch")
   }
 }

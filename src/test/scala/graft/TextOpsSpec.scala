@@ -447,6 +447,15 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
     assert(got13 == got.map { case (k, r) => k -> r._2 })
     model13.release()
+    // broadcast twin: identical predictions, NULL for featureless docs,
+    // size guard counted before collecting
+    val bc = spark.sparkContext.broadcast(TextOps.collectNb(model))
+    val exprPath = test.select(col("doc_id"),
+        TextOps.nbLangIdBroadcast(col("text"), bc).as("p"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(exprPath(1L).contains("xx") && exprPath(2L).contains("yy"))
+    assert(exprPath(3L).isEmpty)
+    intercept[IllegalArgumentException] { TextOps.collectNb(model, maxEntries = 2L) }
     model.release(); model.release() // idempotent
   }
 
