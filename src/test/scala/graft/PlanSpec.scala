@@ -207,6 +207,21 @@ class PlanSpec extends AnyFunSuite {
     } finally lm.release()
   }
 
+  test("NB langid: class table broadcast, partial-combined (id, lang) " +
+    "aggregate, bounded_top_k argmax — no Window, no UDF") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.operators.TextOps.nbLangModel(docs, "lang", "text")
+    try {
+      val plan = planOf(graft.operators.TextOps.nbLangId(
+        docs, "doc_id", "text", model))
+      assert(plan.contains("ObjectHashAggregate"), plan.take(1000))
+      assert(plan.contains("partial_sum"), plan.take(1000))
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), "class table must broadcast")
+      assert(!plan.contains("Window") && !plan.contains("ScalaUDF"))
+    } finally model.release()
+  }
+
   test("IVFADC+R re-rank: candidate ids broadcast back onto the vector scan; " +
     "final k is the bounded_top_k ObjectHashAggregate, no Window") {
     val plan = planOf(SparkEntry.queries("q_embed_rerank")(spark, sf))
