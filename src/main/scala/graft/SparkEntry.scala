@@ -1241,6 +1241,24 @@ object SparkEntry {
       Similarity.recallAtK(exact, approx, k = 10).orderBy("query_id")
     }),
 
+    // Matryoshka-style truncation/recall diagnostic (P18 truncate+renorm ×
+    // J5 recall): exact top-k on full 64-dim vectors vs exact top-k on the
+    // truncate_renorm(16) prefix — the dimension-vs-recall tradeoff number
+    // a storage/latency decision starts from. The oracle replays the
+    // truncation, BOTH rankings and the overlap end-to-end.
+    "q_truncate_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 10)
+      val trunc = emb.select(col("vec_id"),
+        graft.functions.VectorExpressions.truncate_renorm(col("embedding"), 16)
+          .as("embedding"))
+      val approx = Similarity.bruteForceTopK(trunc.where(col("vec_id") < 5),
+        trunc, "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(exact, approx, k = 10).orderBy("query_id")
+    }),
+
     // Radius (range) search — all corpus vectors with cosine ≥ τ per query;
     // threshold 0.25 sits ≥7e-4 from every corpus cosine at the gated SF, so
     // engine ulp differences cannot flip membership at the boundary.
@@ -2796,6 +2814,47 @@ object SparkEntry {
         |    JOIN probes p ON p.query_id = q.query_id
         |    JOIN assign a ON a.list_id = p.list_id
         |    JOIN corpus c ON c.nid = a.nid AND c.nid <> q.query_id)
+        |  WHERE rank <= 10
+        |), hits AS (
+        |  SELECT e.query_id, COUNT(*) AS n_overlap
+        |  FROM exact e JOIN approx ap
+        |    ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
+        |  GROUP BY e.query_id
+        |)
+        |SELECT ke.query_id, ke.k_exact, COALESCE(h.n_overlap, 0) AS n_overlap,
+        |  ROUND(COALESCE(h.n_overlap, 0) / 10.0, 6) AS recall_at_k
+        |FROM (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id) ke
+        |LEFT JOIN hits h ON h.query_id = ke.query_id
+        |ORDER BY ke.query_id""".stripMargin,
+
+    // truncation-recall diagnostic: the truncate_renorm(16) prefix replayed
+    // (slice + explicit L2 renorm — the SAME arithmetic the expression
+    // runs, not a scale-invariance shortcut), both exact rankings, overlap
+    "q_truncate_recall" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), trunc AS (
+        |  SELECT nid,
+        |    list_transform(v[1:16], x -> x /
+        |      sqrt(list_sum(list_transform(v[1:16], y -> y * y)))) AS tv
+        |  FROM corpus
+        |), queries AS (
+        |  SELECT nid AS query_id, v AS qv FROM corpus WHERE nid < 5
+        |), tqueries AS (
+        |  SELECT nid AS query_id, tv AS qtv FROM trunc WHERE nid < 5
+        |), exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.nid AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(q.qv, c.v) DESC, c.nid ASC) AS rank
+        |    FROM queries q JOIN corpus c ON q.query_id <> c.nid)
+        |  WHERE rank <= 10
+        |), approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, t.nid AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(q.qtv, t.tv) DESC, t.nid ASC) AS rank
+        |    FROM tqueries q JOIN trunc t ON q.query_id <> t.nid)
         |  WHERE rank <= 10
         |), hits AS (
         |  SELECT e.query_id, COUNT(*) AS n_overlap
