@@ -44,7 +44,7 @@ object Bench {
     "q_strip_html", "q_gopher_quality", "q_rebalance_tokens", "q_epoch_plan",
     "q_quality_classifier", "q_perplexity_buckets", "q_dsir_select",
     "q_blocklist", "q_embed_rerank", "q_sb_trigram", "q_dedup_keep_best",
-    "q_langid_nb", "q_truncate_recall")
+    "q_langid_nb", "q_truncate_recall", "q_curate_e2e")
 
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

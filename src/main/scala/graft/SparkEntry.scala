@@ -974,6 +974,30 @@ object SparkEntry {
       } finally model.release()
     }),
 
+    // End-to-end curation COMPOSITION, oracle-checked as one program:
+    // normalize → C4 blocklist → exact dedup (on the normalized text, so
+    // layout-only copies collapse) → deterministic split. Exact copies and
+    // blocklisted terms are planted; every stage's replay is individually
+    // proven elsewhere — this query pins that they compose without seams
+    // (ids, surviving text and split labels all hash-checked together).
+    "q_curate_e2e" -> ((s, dir) => {
+      val kws = Seq("badword", "evil phrase")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" badword"))
+            .otherwise(lit(""))).as("text"))
+      val unioned = base.unionByName(
+        base.where(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val normalized = unioned.select(col("doc_id"),
+        Curation.normalize(col("text")).as("text"))
+      val clean = Curation.filterBlocklist(normalized, "text", kws)
+      Dedup.exactDedup(clean, "doc_id", "text")
+        .select(col("doc_id"), Curation.splitAssign(col("doc_id")).as("split"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------------------- deduplication
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2650,6 +2674,39 @@ object SparkEntry {
         |SELECT doc_id, n_ngrams, ROUND(lw, 6) AS log_weight,
         |  ROUND(key, 6) AS gumbel_key
         |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // the composition replayed stage-for-stage: injection, union, the
+    // q_normalize regex, the q_blocklist alternation as a filter, keep =
+    // min id per (normalized) text, the q_split_assign arithmetic
+    "q_curate_e2e" ->
+      """WITH base AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' badword' ELSE '' END AS text
+        |  FROM documents
+        |), unioned AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id < 30
+        |), norm AS (
+        |  SELECT doc_id,
+        |    TRIM(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS text
+        |  FROM unioned
+        |), clean AS (
+        |  SELECT * FROM norm
+        |  WHERE len(regexp_extract_all(text,
+        |    '\b(?:evil phrase|badword)\b')) = 0
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text
+        |)
+        |SELECT c.doc_id,
+        |  CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  c.text
+        |FROM clean c JOIN keep k USING (doc_id)
+        |CROSS JOIN LATERAL (SELECT
+        |  CAST(concat('0x', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 100 AS pct)
+        |ORDER BY c.doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH all_docs AS (
