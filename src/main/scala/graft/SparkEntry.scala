@@ -1583,8 +1583,8 @@ object SparkEntry {
 
     "q_rank_ntile" ->
       """SELECT event_id,
-        |  RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk,
-        |  DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS drk,
+        |  CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS drk,
         |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
         |FROM events ORDER BY event_id""".stripMargin,
 
@@ -1647,7 +1647,7 @@ object SparkEntry {
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, rk, ROUND(o_totalprice, 6) AS price FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
         |  FROM orders
         |) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
 
@@ -2574,8 +2574,8 @@ object SparkEntry {
         |  FROM targets t CROSS JOIN nn
         |), cum AS (
         |  SELECT source, doc_id, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY shard, key, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY shard, key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM base
         |)
         |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens
@@ -2594,18 +2594,18 @@ object SparkEntry {
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647 AS key
         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
         |), tot AS (
-        |  SELECT source, SUM(n_tokens) AS t FROM base GROUP BY source
+        |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t FROM base GROUP BY source
         |), nn AS (
         |  SELECT CAST(MIN(FLOOR(3.0 * COALESCE(tot.t, 0) / targets.p)) AS BIGINT) AS n
         |  FROM targets LEFT JOIN tot USING (source)
         |), ep AS (
         |  SELECT t.source,
-        |    CASE WHEN COALESCE(tot.t, 0) = 0 THEN 0
-        |      ELSE CAST(FLOOR(t.p * nn.n) AS BIGINT) // tot.t END AS e,
-        |    CAST(FLOOR(t.p * nn.n) AS BIGINT)
+        |    CAST(CASE WHEN COALESCE(tot.t, 0) = 0 THEN 0
+        |      ELSE CAST(FLOOR(t.p * nn.n) AS BIGINT) // tot.t END AS BIGINT) AS e,
+        |    CAST(CAST(FLOOR(t.p * nn.n) AS BIGINT)
         |      - (CASE WHEN COALESCE(tot.t, 0) = 0 THEN 0
         |           ELSE CAST(FLOOR(t.p * nn.n) AS BIGINT) // tot.t END)
-        |        * COALESCE(tot.t, 0) AS rem
+        |        * COALESCE(tot.t, 0) AS BIGINT) AS rem
         |  FROM targets t CROSS JOIN nn LEFT JOIN tot ON tot.source = t.source
         |), live AS (
         |  SELECT * FROM ep WHERE e > 0 OR rem > 0
@@ -2619,7 +2619,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM base
         |), partial AS (
-        |  SELECT c.source, c.doc_id, c.n_tokens, e.e + 1 AS epoch
+        |  SELECT c.source, c.doc_id, c.n_tokens, CAST(e.e + 1 AS BIGINT) AS epoch
         |  FROM cum c JOIN live e USING (source) WHERE c.cum_tokens <= e.rem
         |)
         |SELECT source, doc_id, n_tokens, epoch FROM fulls

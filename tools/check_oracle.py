@@ -15,17 +15,29 @@ oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 ok, bad = 0, 0
 for name, sql in sorted(oracles.items()):
     try:
-        got = con.execute(
-            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
-        gcols = [d[0] for d in con.description]
-        want = con.execute(sql).fetchall()
-        wcols = [d[0] for d in con.description]
+        grel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        gcols = list(grel.columns)
+        gtypes = {c: str(t) for c, t in zip(grel.columns, grel.types)}
+        got = grel.fetchall()
+        wrel = con.sql(sql)
+        wcols = list(wrel.columns)
+        wtypes = {c: str(t) for c, t in zip(wrel.columns, wrel.types)}
+        want = wrel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: exec error {e}")
         bad += 1
         continue
     if sorted(gcols) != sorted(wcols):
         print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(wcols)}")
+        bad += 1
+        continue
+    # the driver's hash is TYPE-sensitive (e.g. DuckDB SUM(BIGINT) returns
+    # HUGEINT) — a value-equal result with a differently-typed oracle column
+    # still fails the driver, so flag type drift here too.
+    tdrift = [(c, gtypes[c], wtypes[c]) for c in sorted(gcols)
+              if gtypes[c] != wtypes[c]]
+    if tdrift:
+        print(f"FAIL {name}: result-type drift (engine vs oracle): {tdrift}")
         bad += 1
         continue
     gi = [gcols.index(c) for c in sorted(gcols)]
