@@ -55,7 +55,9 @@ object Bench {
     * ledger starts a fresh best under the new definition (the query name in
     * SparkEntry/correctness is unchanged — correctness identity is not
     * versioned, only the perf ledger key). */
-  private val defVersion = Map("q_redact" -> 2)
+  private val defVersion = Map(
+    "q_redact" -> 2, // round 5: two → four regex passes (phone/IP added)
+    "q_strip_html" -> 2) // round 7: numeric character-reference decode pass
 
   private def recordKey(name: String): String =
     name + defVersion.get(name).map("_v" + _).getOrElse("")

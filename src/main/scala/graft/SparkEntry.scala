@@ -55,12 +55,35 @@ object SparkEntry {
     rr(C.htmlCommentPattern, "''")
     rr(C.blockBreakPattern, "chr(10)")
     rr(C.tagPattern, "' '")
-    C.entityReplacements.foreach { case (p, r) => rr(p, s"'${q(r)}'") }
+    C.entityReplacementsPre.foreach { case (p, r) => rr(p, s"'${q(r)}'") }
+    e = decodeNumericEntitiesOracleExpr(e)
+    rr(C.ampReplacement._1, s"'${q(C.ampReplacement._2)}'")
     rr(C.hspacePattern, "' '")
     rr(C.nlTrimPattern, "chr(10)")
     rr(C.blankRunPattern, "chr(10) || chr(10)")
     rr(C.edgeTrimPattern, "''")
     e
+  }
+
+  /** DuckDB replay of
+    * [[graft.functions.TextExpressions.DecodeNumericEntities]]: tokenize on
+    * the SAME bounded entity alternation (`[^&]+|&` keeps non-entity text
+    * verbatim and covers every position, so string_agg reassembles the
+    * exact input where nothing decodes), chr() valid codes (1..0x10FFFF
+    * minus surrogates), pass invalid tokens through unchanged. */
+  private def decodeNumericEntitiesOracleExpr(e: String): String = {
+    val hexV = "CAST(concat('0x', substr(p, 4, length(p)-4)) AS BIGINT)"
+    val decV = "CAST(substr(p, 3, length(p)-3) AS BIGINT)"
+    def valid(v: String) =
+      s"$v BETWEEN 1 AND 1114111 AND NOT $v BETWEEN 55296 AND 57343"
+    s"COALESCE(list_aggr(list_transform(regexp_extract_all($e, " +
+      "'&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|[^&]+|&'), " +
+      "p -> CASE " +
+      s"WHEN regexp_matches(p, '^&#[xX]') THEN " +
+      s"CASE WHEN ${valid(hexV)} THEN chr(CAST($hexV AS INT)) ELSE p END " +
+      s"WHEN regexp_matches(p, '^&#') THEN " +
+      s"CASE WHEN ${valid(decV)} THEN chr(CAST($decV AS INT)) ELSE p END " +
+      "ELSE p END), 'string_agg', ''), '')"
   }
 
   /** Deterministic near-duplicate injection for the dedup operators: the
@@ -824,6 +847,9 @@ object SparkEntry {
         regexp_replace(substring(col("text"), 1, 500), " the ", " <b>the</b> "),
         lit("</p><br/><ul><li>one &amp; two</li><li>a&nbsp;b</li></ul><hr >"),
         lit("<p>&amp;lt;keep&gt; &quot;q&quot; &#39;s&#39; &bogus; 1 &lt; 2</p>"),
+        lit("<p>&#65;pos &#8217;curly&#8217; &#x1F600; &#x48;&#105; " +
+          "bad:&#0;&#xD800;&#1114112;&#123456789;&#x1234567;&#;&#x; " +
+          "one-level:&amp;#65; tail</p>"),
         lit("</div></body></html>"))
       t(s, dir, "documents")
         .select(col("doc_id"), Curation.stripMarkup(html).as("clean_text"))
@@ -2472,6 +2498,9 @@ object SparkEntry {
         "regexp_replace(substr(text, 1, 500), ' the ', ' <b>the</b> ', 'g'), " +
         "'</p><br/><ul><li>one &amp; two</li><li>a&nbsp;b</li></ul><hr >', " +
         "'<p>&amp;lt;keep&gt; &quot;q&quot; &#39;s&#39; &bogus; 1 &lt; 2</p>', " +
+        "'<p>&#65;pos &#8217;curly&#8217; &#x1F600; &#x48;&#105; " +
+        "bad:&#0;&#xD800;&#1114112;&#123456789;&#x1234567;&#;&#x; " +
+        "one-level:&amp;#65; tail</p>', " +
         "'</div></body></html>')"
       s"SELECT doc_id, ${stripMarkupOracleExpr(inner)} AS clean_text " +
         "FROM documents ORDER BY doc_id"

@@ -136,7 +136,76 @@ object TextExpressions {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Decode numeric HTML character references: `&#NNN;` (1–7 decimal
+    * digits) and `&#xHH;`/`&#XHH;` (1–6 hex digits) → the code point's
+    * UTF-8 character(s). Invalid references pass through VERBATIM — the
+    * conservative choice matching the named-entity passes: malformed
+    * (no digits / no `;` / too many digits), code 0, surrogates
+    * U+D800–U+DFFF, and codes above U+10FFFF. Semantics are exactly the
+    * regex tokenization `&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};` with a
+    * validity CASE — the DuckDB oracle replays it that way (chr() over
+    * regexp_extract_all tokens), so the imperative scan here must stay
+    * equivalent: a run of 8+ digits never matches (no shorter-prefix
+    * fallback — the char after ≤7 digits must be `;`). */
+  def decodeNumericEntitiesEval(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (s.indexOf("&#") < 0) return text
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      var consumed = false
+      if (s.charAt(i) == '&' && i + 1 < n && s.charAt(i + 1) == '#') {
+        var j = i + 2
+        val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+        if (hex) j += 1
+        val dStart = j
+        val maxDigits = if (hex) 6 else 7
+        var code = 0L
+        var run = true
+        while (run && j < n && j - dStart < maxDigits) {
+          val c = s.charAt(j)
+          val v =
+            if (c >= '0' && c <= '9') c - '0'
+            else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+            else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+            else -1
+          if (v < 0) run = false
+          else { code = code * (if (hex) 16 else 10) + v; j += 1 }
+        }
+        // well-formed: ≥1 digit then `;` (an (maxDigits+1)-th digit at j
+        // means the bounded pattern cannot match — fall through verbatim)
+        if (j > dStart && j < n && s.charAt(j) == ';' &&
+            code >= 1 && code <= 0x10FFFF &&
+            !(code >= 0xD800 && code <= 0xDFFF)) {
+          sb.appendCodePoint(code.toInt)
+          i = j + 1
+          consumed = true
+        }
+      }
+      if (!consumed) { sb.append(s.charAt(i)); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   // --- expressions ------------------------------------------------------------
+
+  /** See [[decodeNumericEntitiesEval]] — the numeric-entity pass of
+    * [[graft.operators.Curation.stripMarkup]] (ordered before the final
+    * `&amp;` unescape so one-level decoding is preserved). */
+  case class DecodeNumericEntities(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "decode_numeric_entities"
+    override def nullSafeEval(text: Any): Any =
+      TextExpressions.decodeNumericEntitiesEval(text.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $cls.decodeNumericEntitiesEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): DecodeNumericEntities =
+      copy(c)
+  }
 
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -294,4 +363,6 @@ object TextExpressions {
   def drop_token_ranges(text: Column, ranges: Column): Column =
     GraftBridge.column(DropTokenRanges(
       GraftBridge.expression(text), GraftBridge.expression(ranges)))
+  def decode_numeric_entities(text: Column): Column =
+    GraftBridge.column(DecodeNumericEntities(GraftBridge.expression(text)))
 }

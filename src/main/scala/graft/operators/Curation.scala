@@ -132,16 +132,26 @@ object Curation {
     * `a<div>b` must not become `ab`). A lone `<` with no `>` is text. */
   val tagPattern: String = "(?s)<[^>]*>"
 
-  /** Ordered entity decodes — the common named/numeric set expressible as
-    * literal replaces (full numeric `&#NNN;` decode needs chr() and is not
-    * regex-replayable; out-of-set entities pass through as text, the
-    * conservative choice). `&amp;` is LAST so double-escaped entities
-    * decode exactly one level (`&amp;lt;` → literal `&lt;`, the correct
-    * single-pass unescape). */
-  val entityReplacements: Seq[(String, String)] = Seq(
+  /** Ordered entity decodes, three stages:
+    *   1. [[entityReplacementsPre]] — the common NAMED set as literal
+    *      replaces (out-of-set names like `&copy;` pass through as text,
+    *      the conservative choice);
+    *   2. the general NUMERIC decode (`&#NNN;` / `&#xHH;` → code point) via
+    *      [[graft.functions.TextExpressions.DecodeNumericEntities]] — real
+    *      crawl HTML is full of `&#8217;`-style references a fixed literal
+    *      list can't cover; the DuckDB oracle replays it with chr() over
+    *      the same bounded-digits tokenization;
+    *   3. [[ampReplacement]] `&amp;` LAST, so double-escaped entities
+    *      decode exactly one level (`&amp;lt;` → literal `&lt;`,
+    *      `&amp;#65;` → literal `&#65;` — the correct single-pass
+    *      unescape: stages 1–2 never see the `&#`/`&lt` hidden behind
+    *      `&amp;`, and nothing runs after stage 3). */
+  val entityReplacementsPre: Seq[(String, String)] = Seq(
     "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"", "&#34;" -> "\"", "&apos;" -> "'", "&#39;" -> "'",
-    "&amp;" -> "&")
+    "&quot;" -> "\"", "&apos;" -> "'")
+
+  /** Final one-level `&amp;` unescape — see [[entityReplacementsPre]]. */
+  val ampReplacement: (String, String) = "&amp;" -> "&"
 
   /** Horizontal-whitespace runs (everything but `\n`) → one space. */
   val hspacePattern: String = "[ \\t\\x0B\\f\\r]+"
@@ -161,20 +171,25 @@ object Curation {
   /**
    * Row-local HTML/markup text extraction: drop script/style/comment
    * blocks, convert line-breaking tags to `\n`, strip remaining tags to a
-   * space, decode the common entities, then normalize whitespace
-   * (horizontal runs → one space, spaces trimmed around newlines, blank-line
-   * runs capped at one, ends trimmed). Pure `regexp_replace` composition —
-   * codegen'd, shuffle-free, and replayed verbatim by the DuckDB oracle
-   * (q_strip_html).
+   * space, decode entities (named set → numeric references → `&amp;` last),
+   * then normalize whitespace (horizontal runs → one space, spaces trimmed
+   * around newlines, blank-line runs capped at one, ends trimmed). All
+   * passes codegen'd and shuffle-free; every pass is replayed verbatim by
+   * the DuckDB oracle (q_strip_html) — the regex passes as the identical
+   * `regexp_replace` chain, the numeric decode as chr() over the same
+   * bounded tokenization.
    */
   def stripMarkup(text: Column): Column = {
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(text,
       scriptBlockPattern, ""), styleBlockPattern, ""), htmlCommentPattern, "")
     val broken = regexp_replace(noBlocks, blockBreakPattern, "\n")
     val untagged = regexp_replace(broken, tagPattern, " ")
-    val decoded = entityReplacements.foldLeft(untagged) { case (c, (p, r)) =>
+    val named = entityReplacementsPre.foldLeft(untagged) { case (c, (p, r)) =>
       regexp_replace(c, p, r)
     }
+    val numeric =
+      graft.functions.TextExpressions.decode_numeric_entities(named)
+    val decoded = regexp_replace(numeric, ampReplacement._1, ampReplacement._2)
     val ws1 = regexp_replace(decoded, hspacePattern, " ")
     val ws2 = regexp_replace(ws1, nlTrimPattern, "\n")
     val ws3 = regexp_replace(ws2, blankRunPattern, "\n\n")

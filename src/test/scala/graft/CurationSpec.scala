@@ -446,6 +446,22 @@ class CurationSpec extends AnyFunSuite {
     assert(strip("&bogus; &copy;") == "&bogus; &copy;")
   }
 
+  test("stripMarkup: numeric character references — decimal and hex decode " +
+    "to code points; invalid (0, surrogates, >U+10FFFF, digit-run too long, " +
+    "empty) pass through verbatim; &amp;#65; decodes exactly one level") {
+    assert(strip("&#65;b &#x48;&#105; &#8217;q&#8217;") == "Ab Hi ’q’")
+    assert(strip("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    assert(strip("&#0; &#xD800; &#xdfff; &#1114112; &#123456789; " +
+      "&#x1234567; &#; &#x; &#65") ==
+      "&#0; &#xD800; &#xdfff; &#1114112; &#123456789; &#x1234567; &#; &#x; &#65")
+    assert(strip("&amp;#65;") == "&#65;")
+    // boundary codes decode; decoded whitespace joins normalization
+    // (&#9; = tab collapses, three &#10; newlines cap at a blank line)
+    assert(strip("&#1; &#x10FFFF;") ==
+      "\u0001 " + new String(Character.toChars(0x10FFFF)))
+    assert(strip("a&#9;&#9;b&#10;&#10;&#10;c") == "a b\n\nc")
+  }
+
   test("stripMarkup: whitespace normalization — horizontal runs collapse, " +
     "lines trim flush, blank runs cap at one, ends trimmed; lone < is text") {
     assert(strip("  <p>a   b\t\tc</p>\n\n\n\n<p>d</p>  ") == "a b c\n\nd")
