@@ -494,6 +494,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode (CJK-safe) token counting vs the whitespace count it corrects:
+    // docs get deterministic whitespace-free tails (Japanese with U+3000
+    // ideographic space, Korean, NBSP-glued Latin, Han Ext-B astral chars) so
+    // the divergence is exercised both ways. The oracle replays the SAME
+    // code-point-range pattern through DuckDB's RE2 (parity verified per
+    // code-point class in TextOpsSpec).
+    "q_token_count_unicode" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      val tail = when(m === 0, lit(" 日本語のテキストです"))
+        .when(m === 1, lit(" 漢字\u3000カナ mixed run"))
+        .when(m === 2, lit(" 한국어 텍스트"))
+        .when(m === 3, lit("\u00A0nbsp\u00A0run \uD840\uDC00\uD840\uDC01"))
+        .otherwise(lit(""))
+      val txt = concat(col("text"), tail)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(txt).cast("long").as("n_tokens_ws"),
+          TextOps.tokenCountUnicode(txt).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher document-quality rules (Rae et al. 2112.11446 Table A1 — the
     // standard web-corpus filter set). Docs are synthesized into the rule
     // regimes deterministically (length tripled/doubled by doc_id%3; bullet
@@ -1688,6 +1709,27 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
         |  ELSE CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr(12288)=U+3000 ideographic space, chr(160)=NBSP,
+    // chr(131072)/chr(131073)=U+20000/U+20001 (Han Ext-B, astral). The token
+    // pattern is the engine's TextOps.unicodeTokenPattern verbatim — explicit
+    // \x{…} code-point ranges, the RE2∩Java subset.
+    "q_token_count_unicode" -> {
+      val pat = graft.operators.TextOps.unicodeTokenPattern
+      s"""WITH synth AS (
+         |  SELECT doc_id, text || (CASE doc_id % 5
+         |    WHEN 0 THEN ' 日本語のテキストです'
+         |    WHEN 1 THEN ' 漢字' || chr(12288) || 'カナ mixed run'
+         |    WHEN 2 THEN ' 한국어 텍스트'
+         |    WHEN 3 THEN chr(160) || 'nbsp' || chr(160) || 'run ' || chr(131072) || chr(131073)
+         |    ELSE '' END) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0
+         |    ELSE CAST(array_length(regexp_split_to_array(TRIM(t), '\\s+')) AS BIGINT) END AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_tokens
+         |FROM synth ORDER BY doc_id""".stripMargin
+    },
 
     "q_gopher_quality" -> {
       val T = graft.operators.TextOps

@@ -282,11 +282,12 @@ object Curation {
    * Returns groupCols + (n_docs, n_tokens, n_chars, doc_share, token_share).
    */
   def mixReport(df: DataFrame, groupCols: Seq[String],
-                textCol: String): DataFrame = {
+                textCol: String, tokenizer: String = "whitespace"): DataFrame = {
     val g = groupCols.map(col)
     val per = df.groupBy(g: _*).agg(
       count(lit(1)).as("n_docs"),
-      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      sum(TextOps.tokenCounterFor(tokenizer)(col(textCol)).cast("long"))
+        .as("n_tokens"),
       sum(length(col(textCol)).cast("long")).as("n_chars"))
     Dedup.withPersistedStage(per) { p =>
       val tot = p.agg(sum("n_docs").as("__td"), sum("n_tokens").as("__tt"))
@@ -376,7 +377,8 @@ object Curation {
    */
   def rebalanceMixTokens(df: DataFrame, groupCol: String, idCol: String,
                          textCol: String, targets: Map[String, Double],
-                         shards: Int = 64): DataFrame = {
+                         shards: Int = 64,
+                         tokenizer: String = "whitespace"): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     val pos = targets.filter(_._2 > 0)
     require(pos.nonEmpty, "rebalanceMixTokens: no positive target proportions")
@@ -386,7 +388,8 @@ object Curation {
       s"rebalanceMixTokens: target proportions sum to ${pos.values.sum} > 1")
     val base = df.where(col(groupCol).isin(pos.keys.toSeq: _*))
       .select(col(groupCol), col(idCol),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextOps.tokenCounterFor(tokenizer)(col(textCol)).cast("long")
+          .as("n_tokens"),
         hashBucket(col(idCol), shards).as("__shard"),
         hashBucket(col(idCol), Int.MaxValue).as("__key"))
     val totals = base.groupBy(col(groupCol)).agg(sum("n_tokens").as("__t"))
@@ -456,7 +459,8 @@ object Curation {
    */
   def epochPlan(df: DataFrame, groupCol: String, idCol: String,
                 textCol: String, targets: Map[String, Double],
-                maxEpochs: Int = 4, shards: Int = 64): DataFrame = {
+                maxEpochs: Int = 4, shards: Int = 64,
+                tokenizer: String = "whitespace"): DataFrame = {
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
     require(shards > 0, s"shards must be positive, got $shards")
     val pos = targets.filter(_._2 > 0)
@@ -467,7 +471,8 @@ object Curation {
       s"epochPlan: target proportions sum to ${pos.values.sum} > 1")
     val base = df.where(col(groupCol).isin(pos.keys.toSeq: _*))
       .select(col(groupCol), col(idCol),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextOps.tokenCounterFor(tokenizer)(col(textCol)).cast("long")
+          .as("n_tokens"),
         hashBucket(col(idCol), shards).as("__shard"),
         hashBucket(col(idCol), Int.MaxValue).as("__key"))
     val totals = base.groupBy(col(groupCol)).agg(sum("n_tokens").as("__t"))

@@ -22,6 +22,56 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** CJK single-codepoint ranges (Han incl. Ext-A/B + compatibility, Hiragana,
+    * Katakana incl. phonetic extensions, Hangul syllables) as explicit
+    * `\x{…}` ranges — the RE2∩Java subset: BOTH engines treat a class range
+    * as code points (a surrogate pair is one match), verified by the non-BMP
+    * Ext-B case in TextOpsSpec. Script names (`\p{Han}` / `\p{IsHan}`) are
+    * deliberately avoided: the spelling differs between RE2 and Java and the
+    * underlying Unicode tables drift across versions, which would break
+    * DuckDB oracle replay. */
+  private val cjkRanges: String =
+    "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}" + // Han
+      "\\x{3040}-\\x{30FF}\\x{31F0}-\\x{31FF}" +                  // Kana
+      "\\x{AC00}-\\x{D7AF}" +                                     // Hangul
+      "\\x{20000}-\\x{2A6DF}"                                     // Han Ext-B
+  /** Whitespace for [[unicodeTokenPattern]]: ASCII ws + NBSP + U+3000
+    * ideographic space (the space CJK text actually uses). */
+  private val unicodeWs: String = " \\t\\n\\r\\x{00A0}\\x{3000}"
+
+  /** Code-point-class token pattern for whitespace-free scripts: a token is
+    * ONE Han/Kana/Hangul code point OR a run of non-space non-CJK characters.
+    * Whitespace `split` counts a CJK document as ~1 token, silently corrupting
+    * every token-budget consumer (rebalance, epoch plans, packing, mix
+    * reports) for those sources; per-codepoint counting is the standard
+    * fallback (≈ chars-per-token 1 for CJK). The pattern is replayable
+    * verbatim by DuckDB's RE2 (q_token_count_unicode oracle). */
+  val unicodeTokenPattern: String =
+    s"[$cjkRanges]|[^$unicodeWs$cjkRanges]+"
+
+  /** Unicode-aware tokenization per [[unicodeTokenPattern]]: whitespace-
+    * delimited runs for spaced scripts, one token per code point for
+    * Han/Kana/Hangul. Identical to [[tokens]] on ASCII text (modulo NBSP /
+    * U+3000 also separating). */
+  def tokensUnicode(text: Column): Column =
+    regexp_extract_all(text, lit(unicodeTokenPattern), lit(0))
+
+  def tokenCountUnicode(text: Column): Column = size(tokensUnicode(text))
+
+  /** Resolve a tokenizer OPTION name to a token-count column — the knob the
+    * token-budget consumers ([[Curation.rebalanceMixTokens]],
+    * [[Curation.epochPlan]], [[Curation.mixReport]], [[packSequences]])
+    * expose. "whitespace" (default, backward-compatible), "unicode"
+    * (CJK-safe, [[tokenCountUnicode]]), "bpe" (subword estimate,
+    * [[tokenCountBpe]]). */
+  def tokenCounterFor(tokenizer: String): Column => Column = tokenizer match {
+    case "whitespace" => tokenCount
+    case "unicode"    => tokenCountUnicode
+    case "bpe"        => tokenCountBpe
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' (expected whitespace|unicode|bpe)")
+  }
+
   /** BPE-ish subword-token estimate: counts letter runs, single digits, and
     * single non-alphanumeric glyphs (the GPT-2 pre-tokenizer's coarse shape —
     * digits and punctuation tokenize individually, words as runs). Pure-ASCII
@@ -816,9 +866,11 @@ object TextOps {
    */
   def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, seqLen: Int,
-                    numShards: Int): org.apache.spark.sql.DataFrame =
+                    numShards: Int,
+                    tokenizer: String = "whitespace"): org.apache.spark.sql.DataFrame =
     packCounts(
-      df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      df.select(col(idCol),
+        tokenCounterFor(tokenizer)(col(textCol)).cast("long").as("n_tokens")),
       idCol, "n_tokens", seqLen, numShards)
 
   /** [[packSequences]] over a PRE-TOKENIZED length column — pack anything

@@ -52,6 +52,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == 6, s"expected 6 code-point tokens, got $got")
   }
 
+  test("tokensUnicode: CJK code points tokenize individually where " +
+    "whitespace split sees ~1 token") {
+    // 日本語のテキストです (10 CJK code points, no spaces)
+    val jp = "日本語のテキストです"
+    // 한국어 텍스트 (3+3 Hangul syllables, one space)
+    val ko = "한국어 텍스트"
+    // mixed Latin + Han, Han Ext-B astral pair (U+20000 U+20001),
+    // U+3000 ideographic space, NBSP-glued Latin
+    val mixed = "hello 世界 world"
+    val extB = new String(Character.toChars(0x20000)) +
+      new String(Character.toChars(0x20001)) + " ext-b"
+    val ideo = "漢字　カナ mixed ascii-run 123"
+    val nbsp = "nbsp separated"
+    val texts = Seq(jp, ko, mixed, extB, ideo, nbsp, "", "   ", "plain ascii")
+    val df = texts.toDF("text")
+    val uni = df.select(TextOps.tokenCountUnicode(col("text"))).as[Int].collect()
+    val ws = df.select(TextOps.tokenCount(col("text"))).as[Int].collect()
+    // empirically verified identical in DuckDB RE2 (same pattern string)
+    assert(uni.sameElements(Array(10, 6, 4, 3, 7, 2, 0, 0, 2)), uni.mkString(","))
+    assert(ws(0) == 1 && uni(0) == 10, "CJK doc: ws sees 1 token, unicode 10")
+    // scalar JVM-regex parity on every fixture (same pattern the oracle runs)
+    val p = java.util.regex.Pattern.compile(TextOps.unicodeTokenPattern)
+    texts.zip(uni).foreach { case (t, n) =>
+      var c = 0; val m = p.matcher(t); while (m.find()) c += 1
+      assert(n == c, s"'$t'")
+    }
+  }
+
+  test("tokenCounterFor wires the tokenizer option into token-budget " +
+    "consumers: packSequences(unicode) packs a CJK doc by code points") {
+    val jp = "日本語のテキストです" // 10 cp
+    val docs = Seq((1L, jp), (2L, "three ascii tokens")).toDF("doc_id", "text")
+    val uni = TextOps.packSequences(docs, "doc_id", "text", seqLen = 4,
+      numShards = 1, tokenizer = "unicode")
+      .select(col("doc_id"), col("n_tokens")).as[(Long, Long)].collect().toMap
+    assert(uni(1L) == 10L && uni(2L) == 3L)
+    val ws = TextOps.packSequences(docs, "doc_id", "text", seqLen = 4,
+      numShards = 1)
+      .select(col("doc_id"), col("n_tokens")).as[(Long, Long)].collect().toMap
+    assert(ws(1L) == 1L, "whitespace default unchanged: CJK doc counts 1")
+    intercept[IllegalArgumentException] { TextOps.tokenCounterFor("nope") }
+  }
+
   test("shingles: n-grams as space-joined strings; short docs → empty") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(TextOps.shingles(TextOps.tokens(col("text")), 3))
