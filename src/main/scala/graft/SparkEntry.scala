@@ -1220,6 +1220,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL near-dup against a pre-signed corpus (rows-only: LSH
+    // banding is the same SQL-irreducibility blocker as q_minhash_lsh): the
+    // 20 injected clones arrive as the NEW batch against the already-signed
+    // base corpus — the +1%-new-data re-curation event. Only the new batch
+    // is shingled+minhashed; old docs contribute a pruned (id, sig) scan.
+    // DedupSpec proves prev ∪ incremental ≡ full recompute bit-for-bit.
+    "q_minhash_lsh_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
+      val newBatch = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val oldSigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64)
+      Dedup.minhashLshPairsIncremental(newBatch, oldSigs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash near-dup pairs (rows-only; Hamming-banding recall in ScalaTest).
     "q_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(docsWithDupes(s, dir), "doc_id", "text",

@@ -102,17 +102,73 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sigStage = df
-      .select(col(idCol),
+    val sigStage = minhashSignatures(df, idCol, textCol, shingleN,
+      bands * rowsPerBand).withColumn("__new", lit(true))
+    lshVerifiedPairs(sigStage, idCol, bands, rowsPerBand, threshold, maxBucket,
+      newOnly = false)
+  }
+
+  /** The (id, distinct-shingle-set, minhash-signature) stage
+    * [[minhashLshPairs]] computes — exposed so a production pipeline can
+    * PERSIST it (e.g. [[persistMinhashSignatures]]) and dedup GROWN corpora
+    * incrementally: re-curation with +1% new data then pays the shingle +
+    * minhash cost for the new batch only, not the full corpus
+    * ([[minhashLshPairsIncremental]]). `numHashes` must equal
+    * bands · rowsPerBand of the pair stage that will consume it. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(col(idCol),
         graft.functions.TextExpressions.word_shingles(col(textCol), shingleN,
           distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", TextOps.minhashSignature(col("sh"), numHashes))
+
+  /**
+   * INCREMENTAL near-dup: candidate pairs touching a NEW batch, against a
+   * persisted signature table — new×new plus new×old bands only, never
+   * old×old (those were already reported when the old docs arrived). With
+   * stable LSH parameters and no bucket hitting `maxBucket`,
+   *   minhashLshPairs(old ∪ new) ≡ minhashLshPairs(old) ∪ incremental
+   * exactly (DedupSpec proves it on a grown corpus); when a hot bucket does
+   * cross the cap as the corpus grows, the cap drops candidates in BOTH the
+   * full and the incremental formulation — the cap is a bounded-recall
+   * guard, not part of the pair semantics.
+   *
+   * Scale shape: the expensive per-document stage (shingle + minhash) runs
+   * on the new batch ONLY; old docs contribute a columnar scan of
+   * (id, sig) — the `sh` column is pruned out of the banding plan and read
+   * back just for ids that survive into a candidate pair (the same ids-only
+   * pair discipline as the full operator). An id present in both sides
+   * takes the NEW version (re-ingest upsert semantics).
+   *
+   * `oldSigs` is [[minhashSignatures]] output (any storage: a
+   * [[graft.sink.SnapshotSink]] table via [[readMinhashSignatures]], plain
+   * parquet, …) produced with the SAME shingleN and
+   * numHashes = bands · rowsPerBand.
+   */
+  def minhashLshPairsIncremental(
+      newBatch: DataFrame, oldSigs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val newSigs = minhashSignatures(newBatch, idCol, textCol, shingleN,
+      bands * rowsPerBand).withColumn("__new", lit(true))
+    val old = oldSigs.select(col(idCol), col("sh"), col("sig"))
+      .join(newSigs.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("__new", lit(false))
+    lshVerifiedPairs(newSigs.unionByName(old), idCol, bands, rowsPerBand,
+      threshold, maxBucket, newOnly = true)
+  }
+
+  /** Shared LSH banding + capped bucket self-join + exact-Jaccard verify over
+    * a (idCol, sh, sig, __new) signature stage. `newOnly` keeps only pairs
+    * with at least one `__new` side (the incremental contract). */
+  private def lshVerifiedPairs(sigStage: DataFrame, idCol: String, bands: Int,
+                               rowsPerBand: Int, threshold: Double,
+                               maxBucket: Int, newOnly: Boolean): DataFrame =
     withPersistedStage(sigStage) { withSig =>
       // band hash = xxhash64 over the band's signature slice
       val banded = withSig
-        .select(col(idCol), col("sh"),
+        .select(col(idCol), col("__new"),
           posexplode(transform(
             sequence(lit(0), lit(bands - 1)),
             b => xxhash64(concat_ws(",",
@@ -122,12 +178,16 @@ object Dedup {
       // candidate pairs as IDS ONLY — the (largish) shingle arrays are joined
       // back once per surviving pair, instead of riding through the bucket
       // self-join and the dedup shuffle
-      val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-      val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-      val candidates = a.join(b, Seq("band", "bucket"))
+      val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"),
+        col("__new").as("__new_a"))
+      val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"),
+        col("__new").as("__new_b"))
+      val joined = a.join(b, Seq("band", "bucket"))
         .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates("id_a", "id_b")
+      val candidates =
+        (if (newOnly) joined.where(col("__new_a") || col("__new_b")) else joined)
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
       val base = withSig.select(col(idCol), col("sh"))
       candidates
         .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -138,6 +198,37 @@ object Dedup {
         .where(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     }
+
+  /** Persist [[minhashSignatures]] of `df` into a [[graft.sink.SnapshotSink]]
+    * table, resume-safe: only ids not already committed are shingled +
+    * minhashed (the F2 already-indexed discipline), so a re-run after a crash
+    * or a grown re-curation pays for genuinely new documents only. LSH
+    * parameters ride the snapshot lineage; [[readMinhashSignatures]] refuses
+    * a table whose recorded parameters disagree with the consumer's. */
+  def persistMinhashSignatures(df: DataFrame, table: String, idCol: String,
+                               textCol: String, shingleN: Int = 3,
+                               numHashes: Int = 64): Unit = {
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    graft.sink.SnapshotSink.appendMissing(sigs, table, idCol, Seq.empty,
+      lineage = Map("op" -> "minhash_signatures",
+        "shingle_n" -> shingleN.toString, "num_hashes" -> numHashes.toString))
+    ()
+  }
+
+  /** Read a [[persistMinhashSignatures]] table back for
+    * [[minhashLshPairsIncremental]], validating the recorded LSH parameters
+    * against the consumer's (silently mixing signature spaces would produce
+    * garbage buckets, not an error). */
+  def readMinhashSignatures(spark: org.apache.spark.sql.SparkSession,
+                            table: String, shingleN: Int = 3,
+                            numHashes: Int = 64): DataFrame = {
+    graft.sink.SnapshotSink.lastSnapshot(table).foreach { snap =>
+      val (sn, nh) = (snap.lineage.get("shingle_n"), snap.lineage.get("num_hashes"))
+      require(sn.forall(_ == shingleN.toString) && nh.forall(_ == numHashes.toString),
+        s"signature table $table was built with shingle_n=${sn.orNull}, " +
+          s"num_hashes=${nh.orNull}; consumer expects $shingleN/$numHashes")
+    }
+    graft.sink.SnapshotSink.read(spark, table)
   }
 
   /** SimHash per document (row-local). */

@@ -105,6 +105,48 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming door for INCREMENTAL near-dup — the live-ingest twin of
+    * [[graft.operators.Dedup.minhashLshPairsIncremental]]: per micro-batch,
+    * (1) emit the near-dup pairs the batch creates against everything seen so
+    * far (new×new + new×old bands only, exact-Jaccard verified) into
+    * `pairsTable`, keyed `id_a:id_b` so batch replays are idempotent;
+    * (2) append the batch's signatures to `sigTable` via `appendMissing`
+    * (resume-safe). The stream thus maintains the SAME persisted signature
+    * index a 100 TB batch backfill builds with
+    * [[graft.operators.Dedup.persistMinhashSignatures]] — old documents are
+    * never re-shingled, and a crash between (1) and (2) replays cleanly in
+    * either order (pair keys dedup; re-appearing ids take the new-batch
+    * signature). */
+  def nearDupDoor(docs: DataFrame, sigTable: String, pairsTable: String,
+                  checkpointDir: String, idCol: String, textCol: String,
+                  shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                  threshold: Double = 0.5, maxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val D = graft.operators.Dedup
+        val numHashes = bands * rowsPerBand
+        val oldSigs = graft.sink.SnapshotSink.lastSnapshot(sigTable) match {
+          case Some(_) =>
+            D.readMinhashSignatures(spark, sigTable, shingleN, numHashes)
+          case None => // first batch: empty frame with the signature schema
+            D.minhashSignatures(batch.toDF().limit(0), idCol, textCol,
+              shingleN, numHashes)
+        }
+        val pairs = D.minhashLshPairsIncremental(batch.toDF(), oldSigs,
+            idCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket)
+          .withColumn("pair_key", concat_ws(":", col("id_a"), col("id_b")))
+        graft.sink.SnapshotSink.appendMissing(pairs, pairsTable, "pair_key",
+          Seq.empty, lineage = Map("stream_batch_id" -> batchId.toString))
+        D.persistMinhashSignatures(batch.toDF(), sigTable, idCol, textCol,
+          shingleN, numHashes)
+        ()
+      }
+      .start()
+
   /** In-flight LM quality scoring (the CCNet curation signal at the door):
     * append `cross_entropy` via the row-local broadcast `lm_score`
     * expression — stateless, so a live ingest and a 100 TB backfill share

@@ -146,6 +146,62 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  test("minhashLshPairsIncremental over a persisted signature snapshot ≡ " +
+    "full recompute on the grown corpus; signatures resume; params enforced") {
+    val lr = new scala.util.Random(4242)
+    def ldoc(len: Int): String =
+      Seq.fill(len)(vocab(lr.nextInt(vocab.length))).mkString(" ")
+    val oldCorpus = (base ++ exactDupes).toDF("doc_id", "text")
+    // new batch: near-dups of OLD docs (new×old pairs), an identical fresh
+    // twin pair (a new×new pair), and unrelated fresh docs
+    val twin = ldoc(40)
+    val newRows = nearDupes ++ Seq((5000L, twin), (5001L, twin)) ++
+      (0 until 5).map(i => (5100L + i, ldoc(35)))
+    val newBatch = newRows.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map(p => (p._1, p._2) -> p._3).toMap
+    val full = pairSet(Dedup.minhashLshPairs(
+      oldCorpus.unionByName(newBatch), "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5))
+    val oldPairs = pairSet(Dedup.minhashLshPairs(oldCorpus, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5))
+    val table = java.nio.file.Files.createTempDirectory("graft_sig")
+      .resolve("sigs").toString
+    Dedup.persistMinhashSignatures(oldCorpus, table, "doc_id", "text",
+      shingleN = 3, numHashes = 64)
+    val incr = pairSet(Dedup.minhashLshPairsIncremental(newBatch,
+      Dedup.readMinhashSignatures(spark, table, shingleN = 3, numHashes = 64),
+      "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5))
+    // every incremental pair touches a new-batch id; no old×old leakage
+    val newIds = newRows.map(_._1).toSet
+    incr.keys.foreach { case (a, b) =>
+      assert(newIds.contains(a) || newIds.contains(b), s"old×old pair ($a,$b)")
+    }
+    assert(incr.keySet.intersect(oldPairs.keySet).isEmpty,
+      "incremental re-reported an old pair")
+    // exact reconstruction: previous pairs ∪ incremental == full recompute
+    assert(oldPairs.keySet ++ incr.keySet == full.keySet,
+      s"missing=${(full.keySet -- oldPairs.keySet -- incr.keySet).take(5)} " +
+        s"extra=${(oldPairs.keySet ++ incr.keySet -- full.keySet).take(5)}")
+    incr.foreach { case (k, j) => assert(math.abs(j - full(k)) < 1e-12, s"$k") }
+    // the injected structure was actually exercised
+    assert(incr.keys.exists { case (a, b) => a == 5000L && b == 5001L },
+      "new×new twin pair not found")
+    assert((10L until 20L).forall(i => incr.contains((i, i + 2000L))),
+      "new×old near-dup pairs not all found")
+    // resume: appending the grown corpus only signs genuinely new ids
+    Dedup.persistMinhashSignatures(oldCorpus.unionByName(newBatch), table,
+      "doc_id", "text", shingleN = 3, numHashes = 64)
+    val sigCount = graft.sink.SnapshotSink.read(spark, table).count()
+    assert(sigCount == 70 + newRows.size, s"signature table rows: $sigCount")
+    // parameter mismatch is refused, not silently mixed
+    intercept[IllegalArgumentException] {
+      Dedup.readMinhashSignatures(spark, table, shingleN = 4, numHashes = 64)
+    }
+  }
+
   test("simhashPairs: all reported pairs within maxHamming; exact dupes found") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()

@@ -156,6 +156,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(snaps.forall(_.lineage.contains("stream_batch_id")))
   }
 
+  test("nearDupDoor: per-batch incremental pairs over the persisted " +
+    "signature index reconstruct the batch near-dup pairs exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lr = new scala.util.Random(777)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def ldoc(len: Int): String =
+      Seq.fill(len)(vocab(lr.nextInt(vocab.length))).mkString(" ")
+    val b1 = (0L until 20L).map(i => (i, ldoc(30 + lr.nextInt(10))))
+    val twin1 = ldoc(35)
+    val batch1 = b1 ++ Seq((100L, twin1), (101L, twin1)) // in-batch twin pair
+    // batch 2: near-dups of batch-1 docs (cross-batch pairs) + fresh docs
+    val batch2 = b1.take(5).map { case (id, t) => (id + 200L, t + " omega") } ++
+      (0 until 5).map(i => (300L + i, ldoc(30)))
+    val sigTable = java.nio.file.Files.createTempDirectory("graft_nd_sig")
+      .resolve("sigs").toString
+    val pairsTable = java.nio.file.Files.createTempDirectory("graft_nd_pairs")
+      .resolve("pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.nearDupDoor(stream, sigTable, pairsTable, ckpt,
+      "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.5)
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    // batch parity: the streamed pair ledger == one-shot batch recompute
+    val got = graft.sink.SnapshotSink.read(spark, pairsTable)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    val want = graft.operators.Dedup.minhashLshPairs(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    got.foreach { case (k, j) => assert(math.abs(j - want(k)) < 1e-12, s"$k") }
+    assert(got.contains((100L, 101L)), "in-batch twin pair missed")
+    assert((0L until 5L).forall(i => got.contains((i, i + 200L))),
+      "cross-batch near-dup pairs missed")
+    // the signature index covers every streamed doc exactly once
+    assert(graft.sink.SnapshotSink.read(spark, sigTable).count() ==
+      (batch1.size + batch2.size).toLong)
+  }
+
   test("streaming dedupByKey drops duplicate keys within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
