@@ -733,6 +733,31 @@ object SparkEntry {
     // the expression against the scalar apply); the head tokens AND head
     // token ids ride along so any learner/apply/persistence/vocab regression
     // changes visible rows.
+    // Unigram-LM (SentencePiece, Kudo 2018) tokenization — the OTHER learned
+    // tokenizer family (rows-only: learned piece vocabulary has no DuckDB
+    // twin, the q_bpe_tokenize blocker; UnigramSpec is the correctness gate).
+    // Learn → persistence round-trip → native Viterbi encode, like BPE.
+    "q_unigram_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val learned = graft.ml.Unigram.learn(docs, "text", vocabSize = 600,
+        maxWords = 20000, minCount = 2L)
+      val model = graft.ml.Unigram.parseUnigramFile(
+        graft.ml.Unigram.writeUnigramFile(learned).linesIterator)
+      val bc = s.sparkContext.broadcast(model)
+      docs.select(col("doc_id"),
+          graft.functions.UnigramExpressions.unigram_encode(col("text"), bc)
+            .as("__pieces"),
+          graft.functions.UnigramExpressions.unigram_encode_ids(col("text"), bc)
+            .as("__ids"))
+        .select(col("doc_id"),
+          size(col("__pieces")).cast("long").as("n_pieces"),
+          array_join(slice(col("__pieces"), 1, 12), " ").as("head_pieces"),
+          array_join(slice(col("__ids"), 1, 12).cast("array<string>"), " ")
+            .as("head_piece_ids"))
+        .orderBy("doc_id")
+    }),
+
     "q_bpe_tokenize" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)

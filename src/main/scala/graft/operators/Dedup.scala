@@ -104,8 +104,10 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val sigStage = minhashSignatures(df, idCol, textCol, shingleN,
       bands * rowsPerBand).withColumn("__new", lit(true))
-    lshVerifiedPairs(sigStage, idCol, bands, rowsPerBand, threshold, maxBucket,
-      newOnly = false)
+    withPersistedStage(sigStage) { withSig =>
+      lshPairsOver(withSig, idCol, bands, rowsPerBand, threshold, maxBucket,
+        newOnly = false)
+    }
   }
 
   /** The (id, distinct-shingle-set, minhash-signature) stage
@@ -152,52 +154,61 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val newSigs = minhashSignatures(newBatch, idCol, textCol, shingleN,
       bands * rowsPerBand).withColumn("__new", lit(true))
-    val old = oldSigs.select(col(idCol), col("sh"), col("sig"))
-      .join(newSigs.select(col(idCol)), Seq(idCol), "left_anti")
-      .withColumn("__new", lit(false))
-    lshVerifiedPairs(newSigs.unionByName(old), idCol, bands, rowsPerBand,
-      threshold, maxBucket, newOnly = true)
+    // Persist ONLY the computed (new-batch) signatures. The old side is
+    // STORAGE-backed — caching it would materialize the fat `sh` column for
+    // the whole corpus, exactly what incremental is meant to avoid; instead
+    // each old reference below is its own column-pruned scan (banding reads
+    // (id, sig); the verify join-backs read (id, sh) for candidate ids) —
+    // asserted on ReadSchema in DedupSpec.
+    withPersistedStage(newSigs) { nw =>
+      val old = oldSigs.select(col(idCol), col("sh"), col("sig"))
+        .join(nw.select(col(idCol)), Seq(idCol), "left_anti")
+        .withColumn("__new", lit(false))
+      lshPairsOver(nw.unionByName(old), idCol, bands, rowsPerBand,
+        threshold, maxBucket, newOnly = true)
+    }
   }
 
   /** Shared LSH banding + capped bucket self-join + exact-Jaccard verify over
     * a (idCol, sh, sig, __new) signature stage. `newOnly` keeps only pairs
-    * with at least one `__new` side (the incremental contract). */
-  private def lshVerifiedPairs(sigStage: DataFrame, idCol: String, bands: Int,
-                               rowsPerBand: Int, threshold: Double,
-                               maxBucket: Int, newOnly: Boolean): DataFrame =
-    withPersistedStage(sigStage) { withSig =>
-      // band hash = xxhash64 over the band's signature slice
-      val banded = withSig
-        .select(col(idCol), col("__new"),
-          posexplode(transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",",
-              transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-                _.cast("string")))))).as(Seq("band", "bucket")))
-      val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-      // candidate pairs as IDS ONLY — the (largish) shingle arrays are joined
-      // back once per surviving pair, instead of riding through the bucket
-      // self-join and the dedup shuffle
-      val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"),
-        col("__new").as("__new_a"))
-      val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"),
-        col("__new").as("__new_b"))
-      val joined = a.join(b, Seq("band", "bucket"))
-        .where(col("id_a") < col("id_b"))
-      val candidates =
-        (if (newOnly) joined.where(col("__new_a") || col("__new_b")) else joined)
-          .select("id_a", "id_b")
-          .dropDuplicates("id_a", "id_b")
-      val base = withSig.select(col(idCol), col("sh"))
-      candidates
-        .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .where(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    }
+    * with at least one `__new` side (the incremental contract). Does NOT
+    * persist: callers decide which part of the stage is worth caching
+    * (computed signatures yes, storage-backed ones no). */
+  private def lshPairsOver(withSig: DataFrame, idCol: String, bands: Int,
+                           rowsPerBand: Int, threshold: Double,
+                           maxBucket: Int, newOnly: Boolean): DataFrame = {
+    // band hash = xxhash64 over the band's signature slice
+    val banded = withSig
+      .select(col(idCol), col("__new"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              _.cast("string")))))).as(Seq("band", "bucket")))
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    // candidate pairs as IDS ONLY — the (largish) shingle arrays are joined
+    // back once per surviving pair, instead of riding through the bucket
+    // self-join and the dedup shuffle
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"),
+      col("__new").as("__new_a"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"),
+      col("__new").as("__new_b"))
+    val joined = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+    val candidates =
+      (if (newOnly) joined.where(col("__new_a") || col("__new_b")) else joined)
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+    val base = withSig.select(col(idCol), col("sh"))
+    candidates
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   /** Persist [[minhashSignatures]] of `df` into a [[graft.sink.SnapshotSink]]
     * table, resume-safe: only ids not already committed are shingled +

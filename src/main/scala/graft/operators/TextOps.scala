@@ -97,6 +97,22 @@ object TextOps {
                      model: org.apache.spark.broadcast.Broadcast[graft.ml.Bpe.BpeModel]): Column =
     graft.functions.BpeExpressions.bpe_encode_ids(text, model)
 
+  /** Unigram-LM (SentencePiece-style) tokenization — the other production
+    * tokenizer family ([[graft.ml.Unigram.learn]] learns the model; T5/LLaMA
+    * corpora are unigram-tokenized): Viterbi max-probability segmentation via
+    * the native broadcast-model `unigram_encode` expression. */
+  def unigramTokenize(text: Column,
+                      model: org.apache.spark.broadcast.Broadcast[
+                        graft.ml.Unigram.UnigramModel]): Column =
+    graft.functions.UnigramExpressions.unigram_encode(text, model)
+
+  /** Unigram-LM tokenization to PIECE IDS (`model.vocab` positions,
+    * `<unk>`=0 for out-of-vocabulary single code points). */
+  def unigramTokenizeIds(text: Column,
+                         model: org.apache.spark.broadcast.Broadcast[
+                           graft.ml.Unigram.UnigramModel]): Column =
+    graft.functions.UnigramExpressions.unigram_encode_ids(text, model)
+
   /** Word n-gram shingles as space-joined strings; < n tokens → empty array. */
   /** Interpreted-HOF shingling over an ARBITRARY token-array column — for
     * composition with pre-tokenized inputs. Hot paths over raw text must use

@@ -202,6 +202,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental plan: old-signature scans are COLUMN-PRUNED (banding " +
+    "reads (id, sig) without sh; the corpus-wide sh column is never cached)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_plan")
+      .resolve("sigs").toString
+    Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
+      .write.mode("overwrite").parquet(dir)
+    val newBatch = Seq((9000L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Dedup.explainInterior.withValue(true) {
+        Dedup.minhashLshPairsIncremental(newBatch,
+          spark.read.parquet(dir), "doc_id", "text").queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val sigScans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_sig_plan")) =>
+        s.requiredSchema.fieldNames.toSet
+    }
+    assert(sigScans.nonEmpty, "expected file scans of the signature table")
+    assert(sigScans.exists(!_.contains("sh")),
+      s"banding scan must prune the sh column; scans read: $sigScans")
+    assert(sigScans.forall(f => !(f.contains("sh") && f.contains("sig"))),
+      s"no scan should read BOTH sh and sig (full-width, unpruned): $sigScans")
+    val cached = plan.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    cached.foreach { c =>
+      assert(c.relation.output.size <= 4 &&
+        c.relation.stats.sizeInBytes < 10L * 1024 * 1024,
+        "only the small NEW-batch signature stage may be cached")
+    }
+  }
+
   test("simhashPairs: all reported pairs within maxHamming; exact dupes found") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
