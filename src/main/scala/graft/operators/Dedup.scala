@@ -272,24 +272,70 @@ object Dedup {
                      maxHamming: Int = 3, chunks: Int = 4,
                      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < chunks, "banding guarantee needs maxHamming < chunks")
-    val bitsPer = 64 / chunks
-    val sigs = signatures.select(col(idCol), col(bitsCol).cast("long").as("__sig"))
+    val sigs = signatures
+      .select(col(idCol), col(bitsCol).cast("long").as("__sig"))
+      .withColumn("__new", lit(true))
     withPersistedStage(sigs) { sims =>
-      val banded = sims.select(col(idCol), col("__sig"),
-        posexplode(transform(
-          sequence(lit(0), lit(chunks - 1)),
-          c => call_function("shiftright", col("__sig"), c * bitsPer)
-            .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
-      val capped = capBuckets(banded, Seq("chunk", "key"), maxBucket)
-      val a = capped.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("__sig").as("sh_a"))
-      val b = capped.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("__sig").as("sh_b"))
-      a.join(b, Seq("chunk", "key"))
-        .where(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
-        .withColumn("hamming", TextOps.hamming64(col("sh_a"), col("sh_b")))
-        .where(col("hamming") <= maxHamming)
-        .select("id_a", "id_b", "hamming")
+      hammingPairsOver(sims, idCol, maxHamming, chunks, maxBucket,
+        newOnly = false)
     }
+  }
+
+  /**
+   * INCREMENTAL 64-bit Hamming near-dup — [[hammingPairs64]] against a
+   * PERSISTED signature table: pairs touching the NEW batch only (new×new +
+   * new×old), never old×old. The image-ingest twin of
+   * [[minhashLshPairsIncremental]]: a LAION-style pipeline persists each
+   * batch's phash/dhash signatures (one long per image — e.g. a
+   * [[graft.sink.SnapshotSink]] table) and dedups arrivals against the
+   * whole history without ever re-decoding or re-hashing old images; the
+   * old side is a column-pruned (id, bits) scan. Same equivalence contract,
+   * proven in DedupSpec:
+   *   hammingPairs64(old ∪ new) ≡ hammingPairs64(old) ∪ incremental.
+   * Ids present in both sides take the NEW signature (re-ingest upsert).
+   */
+  def hammingPairs64Incremental(newSignatures: DataFrame,
+                                oldSignatures: DataFrame,
+                                idCol: String, bitsCol: String,
+                                maxHamming: Int = 3, chunks: Int = 4,
+                                maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming < chunks, "banding guarantee needs maxHamming < chunks")
+    val nw = newSignatures
+      .select(col(idCol), col(bitsCol).cast("long").as("__sig"))
+      .withColumn("__new", lit(true))
+    withPersistedStage(nw) { n =>
+      val old = oldSignatures
+        .select(col(idCol), col(bitsCol).cast("long").as("__sig"))
+        .join(n.select(col(idCol)), Seq(idCol), "left_anti")
+        .withColumn("__new", lit(false))
+      hammingPairsOver(n.unionByName(old), idCol, maxHamming, chunks,
+        maxBucket, newOnly = true)
+    }
+  }
+
+  /** Shared Hamming banding + capped bucket join + exact verify over a
+    * (idCol, __sig, __new) stage; `newOnly` keeps pairs with ≥1 new side. */
+  private def hammingPairsOver(sims: DataFrame, idCol: String,
+                               maxHamming: Int, chunks: Int, maxBucket: Int,
+                               newOnly: Boolean): DataFrame = {
+    val bitsPer = 64 / chunks
+    val banded = sims.select(col(idCol), col("__sig"), col("__new"),
+      posexplode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("__sig"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
+    val capped = capBuckets(banded, Seq("chunk", "key"), maxBucket)
+    val a = capped.select(col("chunk"), col("key"), col(idCol).as("id_a"),
+      col("__sig").as("sh_a"), col("__new").as("__new_a"))
+    val b = capped.select(col("chunk"), col("key"), col(idCol).as("id_b"),
+      col("__sig").as("sh_b"), col("__new").as("__new_b"))
+    val joined = a.join(b, Seq("chunk", "key"))
+      .where(col("id_a") < col("id_b"))
+    (if (newOnly) joined.where(col("__new_a") || col("__new_b")) else joined)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", TextOps.hamming64(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /**

@@ -147,6 +147,43 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming door for INCREMENTAL 64-bit Hamming near-dup — the
+    * image-ingest twin of [[nearDupDoor]] (phash/dhash/simhash instead of
+    * MinHash): the stream carries precomputed signatures (one long per
+    * item, e.g. `dhash64(img)` appended by the featurize stage); per
+    * micro-batch, pairs the batch creates against the whole history
+    * (new×new + new×old, exact-Hamming verified) land in `pairsTable`
+    * keyed `id_a:id_b`, then the batch's signatures append to `sigTable`
+    * — old images are never re-decoded or re-hashed, and batch replays
+    * are idempotent in either order. */
+  def hammingNearDupDoor(items: DataFrame, sigTable: String, pairsTable: String,
+                         checkpointDir: String, idCol: String, bitsCol: String,
+                         maxHamming: Int = 3, chunks: Int = 4,
+                         maxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val D = graft.operators.Dedup
+        val sigs = batch.toDF().select(col(idCol), col(bitsCol))
+        val oldSigs = graft.sink.SnapshotSink.lastSnapshot(sigTable) match {
+          case Some(_) => graft.sink.SnapshotSink.read(spark, sigTable)
+          case None => sigs.limit(0)
+        }
+        val pairs = D.hammingPairs64Incremental(sigs, oldSigs, idCol, bitsCol,
+            maxHamming, chunks, maxBucket)
+          .withColumn("pair_key", concat_ws(":", col("id_a"), col("id_b")))
+        graft.sink.SnapshotSink.appendMissing(pairs, pairsTable, "pair_key",
+          Seq.empty, lineage = Map("stream_batch_id" -> batchId.toString))
+        graft.sink.SnapshotSink.appendMissing(sigs, sigTable, idCol, Seq.empty,
+          lineage = Map("stream_batch_id" -> batchId.toString,
+            "op" -> "hamming_signatures"))
+        ()
+      }
+      .start()
+
   /** In-flight LM quality scoring (the CCNet curation signal at the door):
     * append `cross_entropy` via the row-local broadcast `lm_score`
     * expression — stateless, so a live ingest and a 100 TB backfill share

@@ -270,6 +270,51 @@ class DedupSpec extends AnyFunSuite {
     assert(want.count { case (a, b, h) => a >= 5 && b >= 5 && h == 0 } == 10) // C(5,2)
   }
 
+  test("hammingPairs64Incremental over a persisted signature table ≡ full " +
+    "recompute on the grown corpus (the LAION image-ingest event)") {
+    // old corpus: a neighborhood + a hot identical group; new batch: a new
+    // 1-bit neighbor of an OLD value (new×old), a fresh identical twin pair
+    // (new×new), a new member of the hot group, and an unrelated far value
+    val oldSigs = Seq(
+      (1L, 0x0F0F0F0F0F0F0F0FL), (2L, 0x0F0F0F0F0F0F0F0EL),
+      (3L, 0x0F0F0F0F0F0F0F0CL), (4L, 0x70F0F0F0F0F0F0F0L),
+      (5L, 42L), (6L, 42L), (7L, 42L)).toDF("id", "sig")
+    val newSigs = Seq(
+      (100L, 0x0F0F0F0F0F0F0F0DL), // 1-bit from #1's family
+      (101L, 777L), (102L, 777L),  // new×new twins
+      (103L, 42L),                 // joins the hot group
+      (104L, 0x123456789ABCDEFL)   // unrelated
+    ).toDF("id", "sig")
+    val table = java.nio.file.Files.createTempDirectory("graft_ham_sig")
+      .resolve("sigs").toString
+    graft.sink.SnapshotSink.append(
+      oldSigs, table, "id", Seq.empty, Map("op" -> "hamming_signatures"))
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+        .collect().map(p => (p._1, p._2) -> p._3).toMap
+    val full = ps(Dedup.hammingPairs64(oldSigs.unionByName(newSigs),
+      "id", "sig", maxHamming = 3, chunks = 4, maxBucket = 100))
+    val oldPairs = ps(Dedup.hammingPairs64(oldSigs, "id", "sig",
+      maxHamming = 3, chunks = 4, maxBucket = 100))
+    val incr = ps(Dedup.hammingPairs64Incremental(newSigs,
+      graft.sink.SnapshotSink.read(spark, table), "id", "sig",
+      maxHamming = 3, chunks = 4, maxBucket = 100))
+    val newIds = Set(100L, 101L, 102L, 103L, 104L)
+    incr.keys.foreach { case (a, b) =>
+      assert(newIds.contains(a) || newIds.contains(b), s"old×old pair ($a,$b)")
+    }
+    assert(incr.keySet.intersect(oldPairs.keySet).isEmpty)
+    assert(oldPairs.keySet ++ incr.keySet == full.keySet,
+      s"missing=${full.keySet -- oldPairs.keySet -- incr.keySet} " +
+        s"extra=${oldPairs.keySet ++ incr.keySet -- full.keySet}")
+    incr.foreach { case (k, h) => assert(h == full(k), s"$k") }
+    assert(incr.contains((101L, 102L)), "new×new twin pair")
+    assert(incr.contains((1L, 100L)), "new×old neighbor pair")
+    assert((5L to 7L).forall(i => incr.contains((i, 103L))), "hot-group joins")
+    assert(!incr.keySet.exists { case (a, b) => a == 104L || b == 104L },
+      "unrelated far value must pair with nothing")
+  }
+
   test("simhash64 of identical token multisets is identical; empty docs hash to 0 votes") {
     val df = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "x y z w")).toDF("id", "text")
     val hs = df.select(TextOps.simhash64(TextOps.tokens(col("text")))).as[Long].collect()

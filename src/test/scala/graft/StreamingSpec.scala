@@ -206,6 +206,43 @@ class StreamingSpec extends AnyFunSuite {
       (batch1.size + batch2.size).toLong)
   }
 
+  test("hammingNearDupDoor: streamed signature batches reconstruct the " +
+    "batch Hamming pairs exactly (image phash/dhash ingest shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq((1L, 0x0F0F0F0F0F0F0F0FL), (2L, 0x0F0F0F0F0F0F0F0EL),
+      (3L, 42L), (4L, 42L))
+    val batch2 = Seq((10L, 0x0F0F0F0F0F0F0F0CL), // pairs with 1 and 2
+      (11L, 42L),                                 // joins the hot pair
+      (12L, 0x7777777777777777L))                 // unrelated
+    val sigTable = java.nio.file.Files.createTempDirectory("graft_hd_sig")
+      .resolve("sigs").toString
+    val pairsTable = java.nio.file.Files.createTempDirectory("graft_hd_pairs")
+      .resolve("pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hd_ckpt").toString
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("image_id", "dhash")
+    val q = StreamingOps.hammingNearDupDoor(stream, sigTable, pairsTable,
+      ckpt, "image_id", "dhash", maxHamming = 3, chunks = 4)
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val got = graft.sink.SnapshotSink.read(spark, pairsTable)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    val want = graft.operators.Dedup.hammingPairs64(
+      (batch1 ++ batch2).toDF("image_id", "dhash"), "image_id", "dhash",
+      maxHamming = 3, chunks = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    assert(got.contains((3L, 11L)) && got.contains((1L, 10L)),
+      "cross-batch pairs missed")
+    assert(graft.sink.SnapshotSink.read(spark, sigTable).count() == 7L)
+  }
+
   test("streaming dedupByKey drops duplicate keys within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
