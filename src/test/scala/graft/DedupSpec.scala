@@ -315,6 +315,57 @@ class DedupSpec extends AnyFunSuite {
       "unrelated far value must pair with nothing")
   }
 
+  test("incremental ≡ full equivalence holds on RANDOMIZED corpora and " +
+    "splits (minhash and hamming families)") {
+    val pr = new scala.util.Random(90210)
+    def rdoc(len: Int): String =
+      Seq.fill(len)(vocab(pr.nextInt(vocab.length))).mkString(" ")
+    for (trial <- 1 to 3) {
+      // corpus with planted near-dups at random positions, random old/new cut
+      val n = 40 + pr.nextInt(30)
+      val baseDocs = (0 until n).map(i => (i.toLong, rdoc(15 + pr.nextInt(25))))
+      val clones = (0 until 10).map { _ =>
+        val t = baseDocs(pr.nextInt(n))._2
+        (10000L + pr.nextInt(100000), t + (if (pr.nextBoolean()) " omega" else ""))
+      }
+      val all = (baseDocs ++ clones).distinctBy(_._1)
+      val (oldRows, newRows) = pr.shuffle(all).splitAt(all.size * 2 / 3)
+      val oldDf = oldRows.toDF("doc_id", "text")
+      val newDf = newRows.toDF("doc_id", "text")
+      def mh(df: org.apache.spark.sql.DataFrame) =
+        Dedup.minhashLshPairs(df, "doc_id", "text", 3, 8, 4, 0.4)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val mhFull = mh(oldDf.unionByName(newDf))
+      val mhOld = mh(oldDf)
+      val mhIncr = Dedup.minhashLshPairsIncremental(newDf,
+          Dedup.minhashSignatures(oldDf, "doc_id", "text", 3, 32),
+          "doc_id", "text", 3, 8, 4, 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(mhOld ++ mhIncr == mhFull && mhOld.intersect(mhIncr).isEmpty,
+        s"trial $trial minhash: old=${mhOld.size} incr=${mhIncr.size} " +
+          s"full=${mhFull.size}")
+      // hamming family on random 64-bit sketches with planted neighbors
+      val sigs = (0 until n).map(i => (i.toLong, pr.nextLong()))
+      val nbrs = (0 until 8).map { _ =>
+        val s = sigs(pr.nextInt(n))._2
+        (20000L + pr.nextInt(100000), s ^ (1L << pr.nextInt(64)))
+      }
+      val allS = (sigs ++ nbrs).distinctBy(_._1)
+      val (oldS, newS) = pr.shuffle(allS).splitAt(allS.size / 2)
+      def hp(df: org.apache.spark.sql.DataFrame) =
+        Dedup.hammingPairs64(df, "id", "sig", 3, 4)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val hFull = hp(oldS.toDF("id", "sig").unionByName(newS.toDF("id", "sig")))
+      val hOld = hp(oldS.toDF("id", "sig"))
+      val hIncr = Dedup.hammingPairs64Incremental(newS.toDF("id", "sig"),
+          oldS.toDF("id", "sig"), "id", "sig", 3, 4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(hOld ++ hIncr == hFull && hOld.intersect(hIncr).isEmpty,
+        s"trial $trial hamming: old=${hOld.size} incr=${hIncr.size} " +
+          s"full=${hFull.size}")
+    }
+  }
+
   test("simhash64 of identical token multisets is identical; empty docs hash to 0 votes") {
     val df = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "x y z w")).toDF("id", "text")
     val hs = df.select(TextOps.simhash64(TextOps.tokens(col("text")))).as[Long].collect()
