@@ -398,6 +398,63 @@ object Similarity {
     }
   }
 
+  /** The (id, vector, list_id) assignment stage [[semanticNearDupPairs]]
+    * computes — exposed so a pipeline can PERSIST it (e.g.
+    * `SnapshotSink.append(..., keyCol = idCol)`) and dedup grown corpora
+    * incrementally: at SemDeDup scale the nearest-centroid assignment is
+    * k_c·d work per vector (k_c up to 8192, d up to 1024 in the reference
+    * regime) — [[semanticNearDupPairsIncremental]] pays it for the NEW
+    * batch only. */
+  def semanticAssignments(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol), col(vecCol).as("v"),
+      withListId(df, vecCol, centroids).as("list_id"))
+
+  /**
+   * INCREMENTAL SemDeDup — [[semanticNearDupPairs]] against a persisted
+   * assignment table: pairs touching the NEW batch only (new×new +
+   * new×old within each cluster), never old×old. The embedding-space member
+   * of the incremental family ([[graft.operators.Dedup
+   * .minhashLshPairsIncremental]] for text shingles,
+   * [[graft.operators.Dedup.hammingPairs64Incremental]] for 64-bit image
+   * sketches). CONTRACT: `oldAssignments` was produced by
+   * [[semanticAssignments]] under the SAME centroid model — mixing models
+   * silently mis-buckets (centroids are the pair semantics here); with
+   * stable centroids and no cluster crossing `maxBucket`,
+   *   full(old ∪ new) ≡ full(old) ∪ incremental (SimilaritySpec).
+   * Ids present in both sides take the NEW vector (re-ingest upsert). Only
+   * the new batch's assignments are computed and cached; the old side is a
+   * storage-backed scan.
+   */
+  def semanticNearDupPairsIncremental(newBatch: DataFrame,
+                                      oldAssignments: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      centroids: Array[Array[Double]],
+                                      threshold: Double = 0.95,
+                                      maxBucket: Int = 10000): DataFrame = {
+    val nw = semanticAssignments(newBatch, idCol, vecCol, centroids)
+      .withColumn("__new", lit(true))
+    graft.operators.Dedup.withPersistedStage(nw) { n =>
+      val old = oldAssignments.select(col(idCol), col("v"), col("list_id"))
+        .join(n.select(col(idCol)), Seq(idCol), "left_anti")
+        .withColumn("__new", lit(false))
+      val all = n.unionByName(old)
+      val ok = all.groupBy(col("list_id")).count()
+        .where(col("count") <= maxBucket).drop("count")
+      val capped = all.join(ok, Seq("list_id"), "left_semi")
+      val a = capped.select(col("list_id"), col(idCol).as("id_a"),
+        col("v").as("v_a"), col("__new").as("__new_a"))
+      val b = capped.select(col("list_id"), col(idCol).as("id_b"),
+        col("v").as("v_b"), col("__new").as("__new_b"))
+      a.join(b, Seq("list_id"))
+        .where(col("id_a") < col("id_b"))
+        .where(col("__new_a") || col("__new_b"))
+        .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+        .where(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+  }
+
   /** [[semanticNearDupPairs]] → connected components: (id, group_id =
     * min member id) clusters, ready for `Dedup.keepRepresentatives` /
     * `Curation.splitByGroup`. */

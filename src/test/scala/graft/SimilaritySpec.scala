@@ -212,6 +212,50 @@ class SimilaritySpec extends AnyFunSuite {
     (0L until 10L).foreach(i => assert(groups(i + 1000) == groups(i)))
   }
 
+  test("semanticNearDupPairsIncremental over a persisted assignment table ≡ " +
+    "full recompute on the grown corpus; only pairs touching new ids") {
+    val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
+    val lr = new scala.util.Random(1337)
+    val oldCorpus = corpus // 200 base vectors
+    // new batch: exact dupes of old vectors (new×old), a fresh twin pair
+    // (new×new), and fresh random vectors
+    val twin = Array.fill(dim)(lr.nextGaussian().toFloat)
+    val newRows = vecs.take(10).map { case (id, v) => (id + 1000L, v) } ++
+      Seq((5000L, twin), (5001L, twin)) ++
+      (0 until 10).map(i => (5100L + i, Array.fill(dim)(lr.nextGaussian().toFloat)))
+    val newBatch = newRows.toDF("vec_id", "embedding")
+    val t = 0.5
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)]
+        .collect().map(p => (p._1, p._2) -> p._3).toMap
+    val full = ps(Similarity.semanticNearDupPairs(
+      oldCorpus.unionByName(newBatch), "vec_id", "embedding", centroids,
+      threshold = t, maxBucket = 100000))
+    val oldPairs = ps(Similarity.semanticNearDupPairs(oldCorpus, "vec_id",
+      "embedding", centroids, threshold = t, maxBucket = 100000))
+    // persist the assignment stage as a snapshot table, read back for incr
+    val table = java.nio.file.Files.createTempDirectory("graft_sem_sig")
+      .resolve("assign").toString
+    graft.sink.SnapshotSink.append(
+      Similarity.semanticAssignments(oldCorpus, "vec_id", "embedding", centroids),
+      table, "vec_id", Seq.empty, Map("op" -> "semantic_assignments"))
+    val incr = ps(Similarity.semanticNearDupPairsIncremental(newBatch,
+      graft.sink.SnapshotSink.read(spark, table), "vec_id", "embedding",
+      centroids, threshold = t, maxBucket = 100000))
+    val newIds = newRows.map(_._1).toSet
+    incr.keys.foreach { case (a, b) =>
+      assert(newIds.contains(a) || newIds.contains(b), s"old×old pair ($a,$b)")
+    }
+    assert(incr.keySet.intersect(oldPairs.keySet).isEmpty)
+    assert(oldPairs.keySet ++ incr.keySet == full.keySet,
+      s"missing=${(full.keySet -- oldPairs.keySet -- incr.keySet).take(5)} " +
+        s"extra=${(oldPairs.keySet ++ incr.keySet -- full.keySet).take(5)}")
+    incr.foreach { case (k, c) => assert(math.abs(c - full(k)) < 1e-12, s"$k") }
+    assert(incr.contains((5000L, 5001L)), "new×new twin pair")
+    (0L until 10L).foreach(i =>
+      assert(incr.contains((i, i + 1000L)), s"new×old dupe pair $i"))
+  }
+
   private lazy val pqSetup = {
     val centroids = vecs.take(8).map(_._2.map(_.toDouble)).toArray
     val m = 4; val kS = 8; val subLen = dim / m
