@@ -1454,6 +1454,33 @@ object SparkEntry {
         centroids, threshold = 0.999, maxBucket = 1000000)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // INCREMENTAL SemDeDup replay: the corpus split into an OLD side (base
+    // embeddings PLUS three old-side dupes at +2000000 — assignments
+    // precomputed, the persisted snapshot stand-in) and a NEW batch (the
+    // +1000000 dupes). semanticNearDupPairsIncremental emits only pairs
+    // touching the new batch; the old-side dupes form old×old near-dup
+    // pairs the FULL run would report, so the oracle (full SQL + touches-new
+    // filter) hash-fails if the incremental path ever leaks old×old work —
+    // the contract is gated, not just the cosine arithmetic.
+    "q_embed_semantic_neardup_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val oldCorpus = emb.select("vec_id", "embedding").unionByName(
+        emb.where(col("vec_id") >= 10 && col("vec_id") < 13)
+          .select((col("vec_id") + 2000000).as("vec_id"), col("embedding")))
+      val oldAssign = Similarity.semanticAssignments(
+        oldCorpus, "vec_id", "embedding", centroids)
+      val newBatch = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.semanticNearDupPairsIncremental(newBatch, oldAssign,
+        "vec_id", "embedding", centroids, threshold = 0.999,
+        maxBucket = 1000000)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2944,6 +2971,39 @@ object SparkEntry {
         |  ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS cosine
         |FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
         |WHERE CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Incremental SemDeDup: identical quantizer replay over old∪new where
+    // OLD itself contains dupes (+2000000 ids) — their old×old pairs pass
+    // the cosine gate but NOT the touches-new filter, so an incremental
+    // implementation that leaks old×old work hash-fails here.
+    "q_embed_semantic_neardup_incremental" ->
+      """WITH all_emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 10 AND vec_id < 13
+        |), cents AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), assign AS (
+        |  SELECT vec_id, v, cid AS list_id FROM (
+        |    SELECT e.vec_id, e.v, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(e.v, (x, i) -> (x - ct.cv[i]) * (x - ct.cv[i]))) ASC,
+        |        ct.cid ASC) AS rn
+        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM all_emb) e
+        |    CROSS JOIN cents ct)
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS cosine
+        |FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE) >= 0.999
+        |  AND ((a.vec_id >= 1000000 AND a.vec_id < 2000000)
+        |    OR (b.vec_id >= 1000000 AND b.vec_id < 2000000))
         |ORDER BY id_a, id_b""".stripMargin,
 
     // IVF recall@k replayed in SQL: coarse assignment + probe selection are
