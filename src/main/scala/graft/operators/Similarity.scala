@@ -410,6 +410,57 @@ object Similarity {
     df.select(col(idCol), col(vecCol).as("v"),
       withListId(df, vecCol, centroids).as("list_id"))
 
+  /** Stable fingerprint of a centroid model (MD5 over the raw double bits,
+    * row-major). Recorded in the assignment snapshot's lineage and validated
+    * on read: [[semanticNearDupPairsIncremental]]'s contract is ONE centroid
+    * model across old and new — mixing models silently mis-buckets, so the
+    * mismatch must fail loudly at read time instead. */
+  def centroidFingerprint(centroids: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    centroids.foreach { row =>
+      bb.clear(); bb.putLong(row.length.toLong); md.update(bb.array(), 0, 8)
+      row.foreach { d =>
+        bb.clear(); bb.putDouble(d); md.update(bb.array(), 0, 8)
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Persist [[semanticAssignments]] of `df` into a
+    * [[graft.sink.SnapshotSink]] table, resume-safe: only ids not already
+    * committed are centroid-assigned (at SemDeDup scale that is the k_c·d
+    * dominant cost per vector), so a grown re-curation or a crash replay
+    * pays for genuinely new vectors only. The centroid-model fingerprint
+    * rides the snapshot lineage; [[readSemanticAssignments]] refuses a
+    * table built under a different model. */
+  def persistSemanticAssignments(df: DataFrame, table: String, idCol: String,
+                                 vecCol: String,
+                                 centroids: Array[Array[Double]]): Unit = {
+    val assign = semanticAssignments(df, idCol, vecCol, centroids)
+    graft.sink.SnapshotSink.appendMissing(assign, table, idCol, Seq.empty,
+      lineage = Map("op" -> "semantic_assignments",
+        "centroid_md5" -> centroidFingerprint(centroids),
+        "k_c" -> centroids.length.toString))
+    ()
+  }
+
+  /** Read a [[persistSemanticAssignments]] table back for
+    * [[semanticNearDupPairsIncremental]], validating the recorded
+    * centroid-model fingerprint against the consumer's. */
+  def readSemanticAssignments(spark: org.apache.spark.sql.SparkSession,
+                              table: String,
+                              centroids: Array[Array[Double]]): DataFrame = {
+    graft.sink.SnapshotSink.lastSnapshot(table).foreach { snap =>
+      val fp = snap.lineage.get("centroid_md5")
+      require(fp.forall(_ == centroidFingerprint(centroids)),
+        s"assignment table $table was built under centroid model " +
+          s"${fp.orNull}; the consumer's model differs — incremental " +
+          "SemDeDup requires one model across old and new")
+    }
+    graft.sink.SnapshotSink.read(spark, table)
+  }
+
   /**
    * INCREMENTAL SemDeDup — [[semanticNearDupPairs]] against a persisted
    * assignment table: pairs touching the NEW batch only (new×new +

@@ -184,6 +184,46 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming door for INCREMENTAL SemDeDup — the embedding-space member
+    * of the door family ([[nearDupDoor]] = text shingles,
+    * [[hammingNearDupDoor]] = 64-bit image sketches): the stream carries
+    * (id, embedding) rows; per micro-batch, semantic near-dup pairs the
+    * batch creates against the whole assignment history (new×new + new×old
+    * within coarse clusters, exact-cosine verified) land in `pairsTable`
+    * keyed `id_a:id_b`, then the batch's nearest-centroid assignments
+    * append to `assignTable` — old vectors are never re-assigned (the
+    * k_c·d dominant cost is paid once per vector), batch replays are
+    * idempotent in either order, and the centroid-model fingerprint rides
+    * the snapshot lineage so a model swap fails loudly instead of silently
+    * mis-bucketing ([[graft.operators.Similarity.readSemanticAssignments]]). */
+  def semanticNearDupDoor(items: DataFrame, assignTable: String,
+                          pairsTable: String, checkpointDir: String,
+                          idCol: String, vecCol: String,
+                          centroids: Array[Array[Double]],
+                          threshold: Double = 0.95, maxBucket: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val S = graft.operators.Similarity
+        val oldAssign = graft.sink.SnapshotSink.lastSnapshot(assignTable) match {
+          case Some(_) => S.readSemanticAssignments(spark, assignTable, centroids)
+          case None => // first batch: empty frame with the assignment schema
+            S.semanticAssignments(batch.toDF().limit(0), idCol, vecCol, centroids)
+        }
+        val pairs = S.semanticNearDupPairsIncremental(batch.toDF(), oldAssign,
+            idCol, vecCol, centroids, threshold, maxBucket)
+          .withColumn("pair_key", concat_ws(":", col("id_a"), col("id_b")))
+        graft.sink.SnapshotSink.appendMissing(pairs, pairsTable, "pair_key",
+          Seq.empty, lineage = Map("stream_batch_id" -> batchId.toString))
+        S.persistSemanticAssignments(batch.toDF(), assignTable, idCol, vecCol,
+          centroids)
+        ()
+      }
+      .start()
+
   /** In-flight LM quality scoring (the CCNet curation signal at the door):
     * append `cross_entropy` via the row-local broadcast `lm_score`
     * expression — stateless, so a live ingest and a 100 TB backfill share

@@ -243,6 +243,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sink.SnapshotSink.read(spark, sigTable).count() == 7L)
   }
 
+  test("semanticNearDupDoor: streamed embedding batches reconstruct the " +
+    "batch SemDeDup pairs exactly; model-swap read fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    val lr = new scala.util.Random(4242)
+    def rvec(): Array[Float] = Array.fill(dim)(lr.nextGaussian().toFloat)
+    val base = (0L until 12L).map(i => (i, rvec()))
+    val centroids = base.take(4).map(_._2.map(_.toDouble)).toArray
+    val twin = rvec()
+    val batch1 = base ++ Seq((100L, twin), (101L, twin)) // in-batch twin pair
+    // batch 2: exact dupes of batch-1 vectors (cross-batch) + fresh vectors
+    val batch2 = base.take(3).map { case (id, v) => (id + 200L, v) } ++
+      (0 until 4).map(i => (300L + i, rvec()))
+    val assignTable = java.nio.file.Files.createTempDirectory("graft_sd_sig")
+      .resolve("assign").toString
+    val pairsTable = java.nio.file.Files.createTempDirectory("graft_sd_pairs")
+      .resolve("pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ckpt").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.semanticNearDupDoor(stream, assignTable, pairsTable,
+      ckpt, "vec_id", "embedding", centroids, threshold = 0.9)
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val got = graft.sink.SnapshotSink.read(spark, pairsTable)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    val want = graft.operators.Similarity.semanticNearDupPairs(
+      (batch1 ++ batch2).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centroids, threshold = 0.9)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    got.foreach { case (k, c) => assert(math.abs(c - want(k)) < 1e-12, s"$k") }
+    assert(got.contains((100L, 101L)), "in-batch twin pair missed")
+    assert((0L until 3L).forall(i => got.contains((i, i + 200L))),
+      "cross-batch exact-dupe pairs missed")
+    // the assignment index covers every streamed vector exactly once
+    assert(graft.sink.SnapshotSink.read(spark, assignTable).count() ==
+      (batch1.size + batch2.size).toLong)
+    // a different centroid model must be refused, not silently mis-bucketed
+    val other = centroids.map(_.map(_ + 1.0))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.readSemanticAssignments(spark, assignTable,
+        other)
+    }
+    assert(ex.getMessage.contains("centroid model"))
+  }
+
   test("streaming dedupByKey drops duplicate keys within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
