@@ -921,6 +921,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Keep-first exact paragraph (line-unit) dedup: two identical injected
+    // lines per doc, shared across every doc in the same mod-50 class — the
+    // globally first occurrence (lowest doc_id, then position) survives,
+    // every other copy is dropped, exercising BOTH within-doc and cross-doc
+    // duplication plus the keeper's deterministic tie-break.
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat(
+          col("text"),
+          lit("\nshared quote "), pmod(col("doc_id"), lit(50)).cast("string"),
+          lit("\nshared quote "), pmod(col("doc_id"), lit(50)).cast("string"))
+          .as("text"))
+      Curation.dedupParagraphs(docs, "doc_id", "text", delim = "\n")
+        .orderBy("doc_id")
+    }),
+
     // Canonical pre-dedup text normalization (lowercase, collapse whitespace).
     "q_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2519,6 +2536,39 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
         |  CAST(COALESCE(dr.n_dropped, 0) AS INT) AS n_dropped_lines
         |FROM docs d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN drops dr USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Keep-first paragraph dedup replay: occurrences ranked by (doc_id, pos)
+    // per unit text; rank > 1 occurrences are dropped and documents are
+    // rebuilt from the surviving units in position order (whitespace-only
+    // units are never candidates, mirroring the engine's trim filter).
+    "q_dedup_paragraphs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text || chr(10) || 'shared quote ' || CAST(doc_id % 50 AS VARCHAR)
+        |    || chr(10) || 'shared quote ' || CAST(doc_id % 50 AS VARCHAR) AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, unnest(range(0, len(ls))) AS pos, unnest(ls) AS p
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs)
+        |), dropped AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+        |    FROM paras WHERE LENGTH(TRIM(p)) > 0) WHERE rn > 1
+        |), kept AS (
+        |  SELECT pa.doc_id, pa.pos, pa.p
+        |  FROM paras pa LEFT JOIN dropped d
+        |    ON pa.doc_id = d.doc_id AND pa.pos = d.pos
+        |  WHERE d.doc_id IS NULL
+        |), rebuilt AS (
+        |  SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10)) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |), ndrop AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM dropped GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(nd.n, 0) AS INT) AS n_dropped_paras
+        |FROM docs d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN ndrop nd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // element-wise mean per label replayed dimension-wise (AVG over the

@@ -555,6 +555,57 @@ object Curation {
   }
 
   /**
+   * Corpus-wide exact PARAGRAPH dedup with keep-first (the Dolma/RefinedWeb
+   * paragraph-level stage): every repeated occurrence of a text unit
+   * (delimiter-split; `"\n"` = lines, `"\n\n"` = blank-line paragraphs) is
+   * dropped EXCEPT the globally first — lowest (doc id, position), which
+   * makes the keep policy deterministic and partitioning-independent.
+   * Distinct from [[removeBoilerplateLines]] (which removes ALL occurrences
+   * of corpus-hot lines, keeper included) and from [[cutRepeatedSpans]]
+   * (token k-gram spans, not unit-aligned): this is the cheap exact pass a
+   * pipeline runs BEFORE fuzzy span/doc dedup.
+   *
+   * Scale shape: the shuffles carry (fingerprint, id, pos) rows only —
+   * text never rides an exchange; the keeper per fingerprint is ONE
+   * min(struct(id, pos)) aggregate (map-side partial, so a viral paragraph
+   * duplicated across millions of docs combines before the shuffle, no hot
+   * key); per-doc removal sets come back as one int array per affected doc
+   * and reconstruction is a row-local indexed `filter` over the same split
+   * (the lambda runs once per UNIT). Dual (xxhash64, sha256) fingerprints
+   * make a collision-caused wrong drop astronomically unlikely.
+   * Whitespace-only units are never fingerprinted (document structure is
+   * preserved); untouched documents pass through byte-identically.
+   *
+   * Returns every input row as (idCol, clean_text, n_dropped_paras).
+   */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      delim: String = "\n\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol), quoted)).as(Seq("para_no", "para")))
+      .where(length(trim(col("para"))) > 0)
+      .select(col(idCol), col("para_no"),
+        xxhash64(col("para")).as("__h64"), sha2(col("para"), 256).as("__hsha"))
+    val keep = paras.groupBy(col("__h64"), col("__hsha"))
+      .agg(min(struct(col(idCol), col("para_no"))).as("__k"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(col("__h64"), col("__hsha"),
+        col("__k").getField(idCol).as("__kid"),
+        col("__k").getField("para_no").as("__kpos"))
+    val drops = paras.join(keep, Seq("__h64", "__hsha"))
+      .where(!(col(idCol) === col("__kid") && col("para_no") === col("__kpos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("para_no"))).as("__drop"))
+    df.join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__drop").isNull, col(textCol)).otherwise(
+          array_join(filter(split(col(textCol), quoted),
+            (_, i) => !array_contains(col("__drop"), i)), delim)).as("clean_text"),
+        coalesce(size(col("__drop")), lit(0)).cast("int").as("n_dropped_paras"))
+  }
+
+  /**
    * Cut cross-document repeated spans, keeping ONE occurrence corpus-wide
    * (Lee et al. 2021, arXiv:2107.06499 §4: remove every repeat of a span,
    * leaving a single copy — span-level dedup, the complement of the

@@ -222,6 +222,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == (("delta only unique\n\ntail line", 0)))
   }
 
+  test("dedupParagraphs: keep-first (lowest doc id, then position) incl. " +
+    "within-doc repeats; blanks structural; untouched docs byte-identical") {
+    val docs = Seq(
+      (1L, "alpha body\nREPEATED UNIT\nunique 1"),
+      (2L, "REPEATED UNIT\nbeta body\nREPEATED UNIT"),
+      (3L, "gamma body\n\nREPEATED UNIT"),
+      (4L, "delta only unique\n\ntail line")).toDF("doc_id", "text")
+    val got = Curation.dedupParagraphs(docs, "doc_id", "text", delim = "\n")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 holds the globally first occurrence — it SURVIVES (vs
+    // removeBoilerplateLines, which would cut the keeper too)
+    assert(got(1L) == (("alpha body\nREPEATED UNIT\nunique 1", 0)))
+    // both of doc 2's occurrences are later than doc 1's → both dropped
+    assert(got(2L) == (("beta body", 2)))
+    // blank line is structural, never a dedup candidate
+    assert(got(3L) == (("gamma body\n", 1)))
+    assert(got(4L) == (("delta only unique\n\ntail line", 0)))
+    // paragraph ("\n\n") units: the repeated two-line paragraph dedups as
+    // ONE unit; the first occurrence survives intact
+    val pdocs = Seq(
+      (1L, "intro para\n\nquote line a\nquote line b\n\noutro"),
+      (2L, "quote line a\nquote line b\n\nother para")).toDF("doc_id", "text")
+    val pg = Curation.dedupParagraphs(pdocs, "doc_id", "text")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(pg(1L) == (("intro para\n\nquote line a\nquote line b\n\noutro", 0)))
+    assert(pg(2L) == (("other para", 1)))
+  }
+
   test("drop_token_ranges: overlap merge, out-of-bounds clamp, empty ranges " +
     "and untouched text pass through verbatim") {
     import graft.functions.TextExpressions.drop_token_ranges
