@@ -605,6 +605,93 @@ object Curation {
         coalesce(size(col("__drop")), lit(0)).cast("int").as("n_dropped_paras"))
   }
 
+  /** The distinct unit-fingerprint stage [[dedupParagraphs]] keys on,
+    * exposed for persistence: (fp_key, __h64, __hsha) — one row per distinct
+    * non-blank unit in `df`. `fp_key` is the [[graft.sink.SnapshotSink
+    * .appendMissing]] resume key, so re-curation of a grown corpus appends
+    * genuinely new units only. */
+  def paragraphFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            delim: String = "\n\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(delim)
+    df.select(explode(split(col(textCol), quoted)).as("para"))
+      .where(length(trim(col("para"))) > 0)
+      .select(xxhash64(col("para")).as("__h64"),
+        sha2(col("para"), 256).as("__hsha"))
+      .distinct()
+      .select(concat_ws(":", col("__h64"), col("__hsha")).as("fp_key"),
+        col("__h64"), col("__hsha"))
+  }
+
+  /** Persist [[paragraphFingerprints]] of `df` into a
+    * [[graft.sink.SnapshotSink]] table (resume-safe, delimiter recorded in
+    * lineage; [[readParagraphFingerprints]] refuses a mismatched delimiter —
+    * unit boundaries ARE the dedup semantics). */
+  def persistParagraphFingerprints(df: DataFrame, table: String, idCol: String,
+                                   textCol: String,
+                                   delim: String = "\n\n"): Unit = {
+    graft.sink.SnapshotSink.appendMissing(
+      paragraphFingerprints(df, idCol, textCol, delim), table, "fp_key",
+      Seq.empty, lineage = Map("op" -> "paragraph_fingerprints",
+        "delim_hex" -> delim.getBytes("UTF-8").map("%02x".format(_)).mkString))
+    ()
+  }
+
+  /** Read a [[persistParagraphFingerprints]] table back for
+    * [[dedupParagraphsIncremental]], validating the recorded delimiter. */
+  def readParagraphFingerprints(spark: org.apache.spark.sql.SparkSession,
+                                table: String,
+                                delim: String = "\n\n"): DataFrame = {
+    val hex = delim.getBytes("UTF-8").map("%02x".format(_)).mkString
+    graft.sink.SnapshotSink.lastSnapshot(table).foreach { snap =>
+      val rec = snap.lineage.get("delim_hex")
+      require(rec.forall(_ == hex),
+        s"fingerprint table $table was built with delimiter 0x${rec.orNull}; " +
+          s"consumer expects 0x$hex — unit boundaries are the dedup semantics")
+    }
+    graft.sink.SnapshotSink.read(spark, table)
+  }
+
+  /**
+   * INCREMENTAL [[dedupParagraphs]] — keep-first exact unit dedup of a NEW
+   * batch against a persisted fingerprint history: any unit whose
+   * fingerprint is already in `seenFps` is dropped from every new document
+   * (its keeper lives in the old corpus); units first seen in this batch
+   * keep their batch-first occurrence. With ids ascending batch-over-batch,
+   *   full(old ∪ new) restricted to new ids ≡ incremental(new, fps(old))
+   * exactly (CurationSpec). Single-pass shape: the new batch's units are
+   * exploded ONCE, disposition is one fingerprint left-join (old side is a
+   * hash-only columnar scan — old text is never re-read, the point of the
+   * incremental regime) plus one rank-within-fingerprint window that reuses
+   * the join's hash partitioning; reconstruction is the same row-local
+   * indexed filter as the batch operator.
+   */
+  def dedupParagraphsIncremental(newBatch: DataFrame, seenFps: DataFrame,
+                                 idCol: String, textCol: String,
+                                 delim: String = "\n\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val paras = newBatch.select(col(idCol),
+        posexplode(split(col(textCol), quoted)).as(Seq("para_no", "para")))
+      .where(length(trim(col("para"))) > 0)
+      .select(col(idCol), col("para_no"),
+        xxhash64(col("para")).as("__h64"), sha2(col("para"), 256).as("__hsha"))
+    val hist = seenFps.select(col("__h64"), col("__hsha"))
+      .withColumn("__seen", lit(true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h64"), col("__hsha"))
+      .orderBy(col(idCol), col("para_no"))
+    val drops = paras.join(hist, Seq("__h64", "__hsha"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .where(coalesce(col("__seen"), lit(false)) || col("__rn") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("para_no"))).as("__drop"))
+    newBatch.join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__drop").isNull, col(textCol)).otherwise(
+          array_join(filter(split(col(textCol), quoted),
+            (_, i) => !array_contains(col("__drop"), i)), delim)).as("clean_text"),
+        coalesce(size(col("__drop")), lit(0)).cast("int").as("n_dropped_paras"))
+  }
+
   /**
    * Cut cross-document repeated spans, keeping ONE occurrence corpus-wide
    * (Lee et al. 2021, arXiv:2107.06499 §4: remove every repeat of a span,

@@ -224,6 +224,41 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming door for INCREMENTAL keep-first paragraph dedup — the
+    * unit-level member of the door family: per micro-batch, each document's
+    * repeated units (vs the whole fingerprint history AND earlier in the
+    * batch) are cut and the cleaned rows land in `outTable` (keyed by id,
+    * idempotent on replay); then the batch's distinct unit fingerprints
+    * append to `fpTable` — old text is never re-read (the history side is a
+    * hash-only columnar scan), and the recorded delimiter is validated on
+    * every read so a unit-boundary change fails loudly. With ascending ids
+    * the streamed ledger equals the one-shot batch
+    * [[graft.operators.Curation.dedupParagraphs]] (StreamingSpec). */
+  def paragraphDedupDoor(docs: DataFrame, fpTable: String, outTable: String,
+                         checkpointDir: String, idCol: String,
+                         textCol: String, delim: String = "\n\n")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val C = graft.operators.Curation
+        val seen = graft.sink.SnapshotSink.lastSnapshot(fpTable) match {
+          case Some(_) => C.readParagraphFingerprints(spark, fpTable, delim)
+          case None => // first batch: empty frame with the fingerprint schema
+            C.paragraphFingerprints(batch.toDF().limit(0), idCol, textCol, delim)
+        }
+        val cleaned = C.dedupParagraphsIncremental(batch.toDF(), seen,
+          idCol, textCol, delim)
+        graft.sink.SnapshotSink.appendMissing(cleaned, outTable, idCol,
+          Seq.empty, lineage = Map("stream_batch_id" -> batchId.toString))
+        C.persistParagraphFingerprints(batch.toDF(), fpTable, idCol, textCol,
+          delim)
+        ()
+      }
+      .start()
+
   /** In-flight LM quality scoring (the CCNet curation signal at the door):
     * append `cross_entropy` via the row-local broadcast `lm_score`
     * expression — stateless, so a live ingest and a 100 TB backfill share

@@ -250,6 +250,37 @@ class CurationSpec extends AnyFunSuite {
     assert(pg(2L) == (("other para", 1)))
   }
 
+  test("dedupParagraphsIncremental over a persisted fingerprint table ≡ " +
+    "full keep-first recompute restricted to the new batch; delimiter " +
+    "mismatch refused") {
+    val lr = new scala.util.Random(99)
+    // small unit pool → guaranteed cross-doc, cross-batch and within-doc
+    // repeats on a randomized corpus
+    val units = (0 until 12).map(i => s"unit $i ${lr.nextInt(5)}")
+    def doc(): String =
+      Seq.fill(3 + lr.nextInt(4))(units(lr.nextInt(units.length))).mkString("\n")
+    val old = (0L until 20L).map(i => (i, doc()))
+    val nw = (100L until 115L).map(i => (i, doc()))
+    val full = Curation.dedupParagraphs(
+      (old ++ nw).toDF("doc_id", "text"), "doc_id", "text", delim = "\n")
+      .where(col("doc_id") >= 100L)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val table = java.nio.file.Files.createTempDirectory("graft_para_fp")
+      .resolve("fps").toString
+    Curation.persistParagraphFingerprints(old.toDF("doc_id", "text"), table,
+      "doc_id", "text", delim = "\n")
+    val incr = Curation.dedupParagraphsIncremental(nw.toDF("doc_id", "text"),
+      Curation.readParagraphFingerprints(spark, table, delim = "\n"),
+      "doc_id", "text", delim = "\n")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(incr == full,
+      s"diff=${(full.toSet -- incr.toSet).take(3)} vs ${(incr.toSet -- full.toSet).take(3)}")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.readParagraphFingerprints(spark, table, delim = "\n\n")
+    }
+    assert(ex.getMessage.contains("delimiter"))
+  }
+
   test("drop_token_ranges: overlap merge, out-of-bounds clamp, empty ranges " +
     "and untouched text pass through verbatim") {
     import graft.functions.TextExpressions.drop_token_ranges

@@ -297,6 +297,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("centroid model"))
   }
 
+  test("paragraphDedupDoor: streamed cleaned ledger == one-shot batch " +
+    "keep-first paragraph dedup (ascending-id batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      (1L, "alpha intro\nSHARED UNIT\nuniq a"),
+      (2L, "SHARED UNIT\nbeta body\nSHARED UNIT"), // cross-doc + within-doc
+      (3L, "gamma only\n\ntail g"))
+    val batch2 = Seq(
+      (10L, "SHARED UNIT\ndelta body"),   // history hit → dropped
+      (11L, "NEW SHARED\nuniq b"),        // first occurrence → keeper
+      (12L, "NEW SHARED\nNEW SHARED"))    // both later → both dropped
+    val fpTable = java.nio.file.Files.createTempDirectory("graft_pd_fp")
+      .resolve("fps").toString
+    val outTable = java.nio.file.Files.createTempDirectory("graft_pd_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pd_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.paragraphDedupDoor(stream, fpTable, outTable, ckpt,
+      "doc_id", "text", delim = "\n")
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val got = graft.sink.SnapshotSink.read(spark, outTable)
+      .select("doc_id", "clean_text", "n_dropped_paras")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = graft.operators.Curation.dedupParagraphs(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", delim = "\n")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want,
+      s"diff=${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+    assert(got(10L) == (("delta body", 1)), "history fingerprint hit missed")
+    assert(got(12L) == (("", 2)), "batch-internal keep-first missed")
+    // fingerprint ledger holds each distinct unit exactly once
+    val fps = graft.sink.SnapshotSink.read(spark, fpTable)
+    assert(fps.count() == fps.select("fp_key").distinct().count())
+  }
+
   test("streaming dedupByKey drops duplicate keys within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
