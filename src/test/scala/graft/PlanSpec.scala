@@ -222,6 +222,32 @@ class PlanSpec extends AnyFunSuite {
     } finally model.release()
   }
 
+  test("paragraph dedup: keeper is a map-side-combined min aggregate; " +
+    "exchanges key on fingerprints/ids, never the unit text") {
+    val plan = planOf(SparkEntry.queries("q_dedup_paragraphs")(spark, sf))
+    assert(plan.contains("partial_min"),
+      "keeper selection must partial-aggregate before the shuffle: " + plan.take(800))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+    val exLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.nonEmpty, plan.take(800))
+    assert(exLines.forall(l => !l.contains("para#") && !l.contains("text#")),
+      s"unit text must never be a shuffle key:\n${exLines.mkString("\n")}")
+  }
+
+  test("incremental paragraph dedup: disposition window partitions by the " +
+    "fingerprint (reusing the history-join partitioning), not globally") {
+    import spark.implicits._
+    val nw = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val hist = graft.operators.Curation.paragraphFingerprints(
+      Seq((0L, "x")).toDF("doc_id", "text"), "doc_id", "text", delim = "\n")
+    val plan = planOf(graft.operators.Curation.dedupParagraphsIncremental(
+      nw, hist, "doc_id", "text", delim = "\n"))
+    val winLine = plan.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("__h64"),
+      s"rank window must partition by the fingerprint: ${winLine.take(300)}")
+  }
+
   test("IVFADC+R re-rank: candidate ids broadcast back onto the vector scan; " +
     "final k is the bounded_top_k ObjectHashAggregate, no Window") {
     val plan = planOf(SparkEntry.queries("q_embed_rerank")(spark, sf))
