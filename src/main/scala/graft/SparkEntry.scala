@@ -1283,6 +1283,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // CROSS-CORPUS fuzzy decontamination (Llama-style): benchmark side = 5
+    // verbatim training docs + 3 lightly-edited ones, with eval ids
+    // DELIBERATELY reusing doc ids — minhashLshPairsAcross keeps sides by
+    // construction (left×right only, overlapping id spaces safe). Rows-only:
+    // the MinHash signature is xxhash64-based (same blocker as
+    // q_minhash_lsh); the cross-vs-full equivalence is proven in DedupSpec.
+    "q_minhash_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
+      val bench = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+        .unionByName(docs.where(col("doc_id") >= 5 && col("doc_id") < 8)
+          .select(col("doc_id").as("eval_id"),
+            concat(col("text"), lit(" extra trailing tokens")).as("eval_text")))
+      Dedup.minhashLshPairsAcross(docs, bench, "doc_id", "eval_id",
+        "text", "eval_text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    }),
+
     // SimHash near-dup pairs (rows-only; Hamming-banding recall in ScalaTest).
     "q_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(docsWithDupes(s, dir), "doc_id", "text",

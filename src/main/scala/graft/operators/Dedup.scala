@@ -169,6 +169,85 @@ object Dedup {
     }
   }
 
+  /**
+   * CROSS-CORPUS fuzzy near-dup: MinHash-LSH pairs BETWEEN two corpora only
+   * — left×right, never left×left or right×right (the Llama-style fuzzy
+   * decontamination shape: train docs that nearly duplicate a benchmark
+   * doc, where [[decontaminate]]'s exact n-gram containment is too strict
+   * against light paraphrase/formatting drift). Returns
+   * (id_l, id_r, jaccard) with id_l ∈ left, id_r ∈ right — sides are kept
+   * by construction, so the two id spaces may overlap freely (no min-id
+   * convention to corrupt).
+   *
+   * Scale shape: identical discipline to [[minhashLshPairs]] — banded
+   * candidates ride as ids only, hot buckets are capped BEFORE the
+   * left×right bucket join (a bucket with L left + R right members
+   * contributes L·R candidates; the cap bounds L+R), and shingle arrays
+   * join back once per surviving candidate. The right side is typically
+   * benchmark-sized — AQE broadcasts its banded rows and the left corpus
+   * never shuffles its text anywhere.
+   */
+  def minhashLshPairsAcross(
+      left: DataFrame, right: DataFrame, leftId: String, rightId: String,
+      leftText: String, rightText: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val ls = minhashSignatures(
+      left.select(col(leftId).as("__id"), col(leftText).as("__text")),
+      "__id", "__text", shingleN, numHashes).withColumn("__new", lit(true))
+    val rs = minhashSignatures(
+      right.select(col(rightId).as("__id"), col(rightText).as("__text")),
+      "__id", "__text", shingleN, numHashes).withColumn("__new", lit(false))
+    withPersistedStages(Seq(ls, rs)) { case Seq(l, r) =>
+      val banded = bandBuckets(l.unionByName(r), "__id", bands, rowsPerBand)
+      val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+      val a = capped.where(col("__new"))
+        .select(col("band"), col("bucket"), col("__id").as("id_l"))
+      val b = capped.where(!col("__new"))
+        .select(col("band"), col("bucket"), col("__id").as("id_r"))
+      a.join(b, Seq("band", "bucket"))
+        .select("id_l", "id_r").dropDuplicates("id_l", "id_r")
+        .join(l.select(col("__id").as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
+        .join(r.select(col("__id").as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+            size(array_union(col("sh_l"), col("sh_r"))))
+        .where(col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    }
+  }
+
+  /** [[decontaminate]]'s fuzzy twin: drop every left (training) doc whose
+    * MinHash-LSH Jaccard against ANY right (benchmark) doc reaches
+    * `threshold` ([[minhashLshPairsAcross]]). Complements the exact
+    * containment join — paraphrased/reformatted benchmark leakage that
+    * whole-shingle containment misses still collides here. */
+  def decontaminateFuzzy(left: DataFrame, right: DataFrame,
+                         leftId: String, rightId: String,
+                         leftText: String, rightText: String,
+                         shingleN: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4, threshold: Double = 0.5,
+                         maxBucket: Int = 1000): DataFrame = {
+    val contaminated = minhashLshPairsAcross(left, right, leftId, rightId,
+      leftText, rightText, shingleN, bands, rowsPerBand, threshold, maxBucket)
+      .select(col("id_l").as(leftId)).distinct()
+    left.join(contaminated, Seq(leftId), "left_anti")
+  }
+
+  /** Band-bucket explode over a (idCol, sig, __new) signature stage: one
+    * (band, bucket) row per band, bucket = xxhash64 over the band's
+    * signature slice. Shared by the self-join ([[lshPairsOver]]) and the
+    * cross-corpus ([[minhashLshPairsAcross]]) candidate generators. */
+  private def bandBuckets(withSig: DataFrame, idCol: String, bands: Int,
+                          rowsPerBand: Int): DataFrame =
+    withSig.select(col(idCol), col("__new"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))))).as(Seq("band", "bucket")))
+
   /** Shared LSH banding + capped bucket self-join + exact-Jaccard verify over
     * a (idCol, sh, sig, __new) signature stage. `newOnly` keeps only pairs
     * with at least one `__new` side (the incremental contract). Does NOT
@@ -177,14 +256,7 @@ object Dedup {
   private def lshPairsOver(withSig: DataFrame, idCol: String, bands: Int,
                            rowsPerBand: Int, threshold: Double,
                            maxBucket: Int, newOnly: Boolean): DataFrame = {
-    // band hash = xxhash64 over the band's signature slice
-    val banded = withSig
-      .select(col(idCol), col("__new"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              _.cast("string")))))).as(Seq("band", "bucket")))
+    val banded = bandBuckets(withSig, idCol, bands, rowsPerBand)
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
     // candidate pairs as IDS ONLY — the (largish) shingle arrays are joined
     // back once per surviving pair, instead of riding through the bucket

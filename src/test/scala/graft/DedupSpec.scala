@@ -146,6 +146,53 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  test("minhashLshPairsAcross: exactly the cross-corpus pairs of a full " +
+    "recompute (never left×left / right×right); overlapping id spaces safe; " +
+    "decontaminateFuzzy drops exactly the flagged left docs") {
+    // right corpus = verbatim copies of 5 left docs + near-dups of 3 more +
+    // fresh docs; ids DELIBERATELY collide with left's (0..7 reused)
+    val lr = new scala.util.Random(2024)
+    def ldoc(len: Int): String =
+      Seq.fill(len)(vocab(lr.nextInt(vocab.length))).mkString(" ")
+    val right = base.take(5).map { case (id, t) => (id, t) } ++
+      base.slice(5, 8).map { case (id, t) => (id, t + " omega") } ++
+      (0 until 4).map(i => (90L + i, ldoc(35)))
+    val rightDf = right.toDF("eval_id", "eval_text")
+    val across = Dedup.minhashLshPairsAcross(docs, rightDf,
+      "doc_id", "eval_id", "text", "eval_text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // ground truth from the full self-join operator over a DISJOINT relabel
+    // of the right corpus (+10000), restricted to cross pairs
+    val relabeled = right.map { case (id, t) => (id + 10000L, t) }
+    val full = Dedup.minhashLshPairs(
+      (base ++ exactDupes ++ nearDupes ++ relabeled).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    val wantCross = full.filter(p => (p._1 >= 10000L) != (p._2 >= 10000L))
+      .map { p =>
+        val (l, r) = if (p._2 >= 10000L) (p._1, p._2 - 10000L)
+                     else (p._2, p._1 - 10000L)
+        (l, r) -> p._3
+      }.toMap
+    assert(across.keySet == wantCross.keySet,
+      s"missing=${(wantCross.keySet -- across.keySet).take(5)} " +
+        s"extra=${(across.keySet -- wantCross.keySet).take(5)}")
+    across.foreach { case (k, j) =>
+      assert(math.abs(j - wantCross(k)) < 1e-12, s"$k") }
+    // the 5 verbatim copies must all be found (exact dupes always collide)
+    (0L until 5L).foreach(i => assert(across.contains((i, i)),
+      s"verbatim copy $i missed despite colliding id spaces"))
+    // fuzzy decontamination drops exactly the flagged left docs
+    val kept = Dedup.decontaminateFuzzy(docs, rightDf,
+      "doc_id", "eval_id", "text", "eval_text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = across.keySet.map(_._1)
+    assert(kept == docs.select("doc_id").as[Long].collect().toSet -- flagged)
+  }
+
   test("minhashLshPairsIncremental over a persisted signature snapshot ≡ " +
     "full recompute on the grown corpus; signatures resume; params enforced") {
     val lr = new scala.util.Random(4242)
