@@ -47,7 +47,7 @@ object Bench {
     "q_langid_nb", "q_truncate_recall", "q_curate_e2e",
     "q_token_count_unicode", "q_minhash_lsh_incremental",
     "q_unigram_tokenize", "q_embed_semantic_neardup_incremental",
-    "q_dedup_paragraphs", "q_minhash_decontaminate")
+    "q_dedup_paragraphs", "q_minhash_decontaminate", "q_tokenizer_fertility")
 
   /** Perf-definition versions: when a query's DEFINITION grows (round 5
     * expanded q_redact from two regex passes to four — phone + IP added),

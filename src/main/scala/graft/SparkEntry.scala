@@ -555,6 +555,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer-health report per language: subword-per-word fertility and
+    // chars-per-subword — the signals that make token budgets comparable
+    // across languages (a high-fertility language burns budget faster than
+    // its text share suggests). One partial-combined aggregate over the
+    // corpus; both token patterns are published constants the oracle
+    // replays verbatim.
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCountBpe(col("text")).cast("long")).as("__bpe"),
+          sum(TextOps.tokenCountUnicode(col("text")).cast("long")).as("__w"),
+          sum(length(col("text")).cast("long")).as("__c"))
+        .select(col("lang"), col("n_docs"),
+          col("__bpe").as("n_bpe_tokens"), col("__w").as("n_words"),
+          round(col("__bpe").cast("double") / col("__w"), 6).as("fertility"),
+          round(col("__c").cast("double") / col("__bpe"), 6).as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
     "q_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 6).as("quality"))
@@ -1900,6 +1920,22 @@ object SparkEntry {
         graft.operators.TextOps.bpeTokenPattern +
         """')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""").stripMargin,
+
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast every sum (driver hash is
+    // type-sensitive); ratios go through DOUBLE on both sides.
+    "q_tokenizer_fertility" -> {
+      val T = graft.operators.TextOps
+      s"""WITH g AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(regexp_extract_all(text, '${T.bpeTokenPattern}'))) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(SUM(len(regexp_extract_all(text, '${T.unicodeTokenPattern}'))) AS BIGINT) AS n_words,
+         |    CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, n_bpe_tokens, n_words,
+         |  ROUND(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS fertility,
+         |  ROUND(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6) AS chars_per_token
+         |FROM g ORDER BY lang""".stripMargin
+    },
 
     "q_repetition" ->
       """SELECT doc_id, ROUND(CASE WHEN n_sh <= 0 THEN 0.0

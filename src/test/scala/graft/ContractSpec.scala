@@ -14,7 +14,7 @@ class ContractSpec extends AnyFunSuite {
     val orphans = o -- q
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
     info(s"queries=${q.size} oracle-checked=${o.size} rows-only=${(q -- o).size}")
-    assert(q.size == 110 && o.size == 87,
+    assert(q.size == 111 && o.size == 88,
       s"query universe changed (${q.size}/${o.size}) — update README/COVERAGE counts")
   }
 
