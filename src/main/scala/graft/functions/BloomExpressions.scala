@@ -72,6 +72,52 @@ object BloomExpressions {
       copy(child = c)
   }
 
+  /** Long-element twin of [[hitsEval]]: probes with `mightContainLong` —
+    * matching what the builder aggregate inserts for a LONG column. Used by
+    * the hashed-shingle decontamination door (longs probe ~an order of
+    * magnitude cheaper than re-hashing string bytes per element). */
+  def hitsLongEval(bloom: BloomFilter, arr: ArrayData): Int = {
+    var hits = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && bloom.mightContainLong(arr.getLong(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  case class BloomHitsLong(child: Expression, bloom: Broadcast[BloomFilter])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bloom_hits_long"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"bloom_hits_long expects array<bigint>, got $t")
+      }
+
+    override def nullSafeEval(v: Any): Any =
+      hitsLongEval(bloom.value, v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bloomBc", bloom, bcClassName)
+      val bf = ctx.addMutableState(bloomClassName, "bloomFilter",
+        v => s"$v = ($bloomClassName) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.BloomExpressions.hitsLongEval($bf, $v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BloomHitsLong =
+      copy(child = c)
+  }
+
   def bloom_hits(arr: Column, bloom: Broadcast[BloomFilter]): Column =
     GraftBridge.column(BloomHits(GraftBridge.expression(arr), bloom))
+  def bloom_hits_long(arr: Column, bloom: Broadcast[BloomFilter]): Column =
+    GraftBridge.column(BloomHitsLong(GraftBridge.expression(arr), bloom))
 }

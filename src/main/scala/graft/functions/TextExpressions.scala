@@ -92,6 +92,40 @@ object TextExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** The shingle set of [[shinglesEval]] with each shingle reduced to its
+    * 64-bit xxhash (seed 42, Spark's own string kernel). Distinct-ness is
+    * decided on the STRINGS (exactly [[shinglesEval]]'s set), so set
+    * operations over the hashes — Jaccard, containment, Bloom membership —
+    * equal the string-set results up to 64-bit collision odds
+    * (≈ n²/2⁶⁵ per document pair, negligible at any real shingle count),
+    * while the arrays are ~5–10× smaller than the strings they replace in
+    * every exchange, persisted stage and signature-history table. */
+  def shinglesHashedEval(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val strs = shinglesEval(text, n, distinct)
+    val m = strs.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = hash(strs.getUTF8String(i), 42L); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass (hashed shingle set, MinHash signature) bundle: the signature
+    * is [[minhashEval]] over the STRING shingles — bit-identical to the
+    * separate word_shingles → minhash_signature pipeline, so LSH buckets and
+    * candidate pairs do not move — while the verify/persist path gets the
+    * hashed set from the same tokenization pass. Null when no shingles. */
+  def minhashBundleEval(text: UTF8String, n: Int, distinct: Boolean,
+                        numHashes: Int): Any = {
+    val strs = shinglesEval(text, n, distinct)
+    val m = strs.numElements()
+    if (m == 0) return null
+    val hashed = new Array[Long](m)
+    var i = 0
+    while (i < m) { hashed(i) = hash(strs.getUTF8String(i), 42L); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(hashed), minhashEval(strs, numHashes)))
+  }
+
   /** Drop the tokens covered by any [start, start+len) range (token positions
     * from the SAME trim + `\s+` tokenizer as [[shinglesEval]], so positions
     * produced by `Dedup.repeatedSpans` line up exactly), rejoin survivors
@@ -328,6 +362,47 @@ object TextExpressions {
       copy(child = c)
   }
 
+  case class WordShinglesHashed(child: Expression, n: Int, distinct: Boolean)
+      extends UnaryExpression {
+    require(n > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "word_shingles_hashed"
+    override def nullSafeEval(text: Any): Any =
+      TextExpressions.shinglesHashedEval(text.asInstanceOf[UTF8String], n, distinct)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $cls.shinglesHashedEval($c, $n, $distinct);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordShinglesHashed =
+      copy(child = c)
+  }
+
+  case class MinHashBundle(child: Expression, n: Int, distinct: Boolean,
+                           numHashes: Int) extends UnaryExpression {
+    require(n > 0 && numHashes > 0 && numHashes <= 1024)
+    override def dataType: DataType = StructType(Seq(
+      StructField("sh", ArrayType(LongType, containsNull = false)),
+      StructField("sig", ArrayType(LongType, containsNull = false))))
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_bundle"
+    override def nullSafeEval(text: Any): Any =
+      TextExpressions.minhashBundleEval(
+        text.asInstanceOf[UTF8String], n, distinct, numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+           |  $cls.minhashBundleEval($c, $n, $distinct, $numHashes);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashBundle =
+      copy(child = c)
+  }
+
   /** text × array<struct<start:int,len:int>> → text with ranged tokens cut.
     * Null text or null ranges → null (callers coalesce to the original
     * column for the no-cuts side of a left join). */
@@ -360,6 +435,10 @@ object TextExpressions {
     GraftBridge.column(CharShingles(GraftBridge.expression(text), n))
   def word_shingles(text: Column, n: Int, distinct: Boolean = false): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n, distinct))
+  def word_shingles_hashed(text: Column, n: Int, distinct: Boolean = false): Column =
+    GraftBridge.column(WordShinglesHashed(GraftBridge.expression(text), n, distinct))
+  def minhash_bundle(text: Column, n: Int, distinct: Boolean, numHashes: Int): Column =
+    GraftBridge.column(MinHashBundle(GraftBridge.expression(text), n, distinct, numHashes))
   def drop_token_ranges(text: Column, ranges: Column): Column =
     GraftBridge.column(DropTokenRanges(
       GraftBridge.expression(text), GraftBridge.expression(ranges)))

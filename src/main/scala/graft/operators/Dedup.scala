@@ -119,11 +119,19 @@ object Dedup {
     * bands · rowsPerBand of the pair stage that will consume it. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 64): DataFrame =
+    // ONE compiled pass per document (minhash_bundle): the signature is
+    // computed over the string shingles — bit-identical to the former
+    // word_shingles → minhash_signature pipeline, so LSH buckets and
+    // candidate pairs do not move — while `sh` carries the xxhash64-hashed
+    // shingle SET (array<long>, not strings): exact-Jaccard verification is
+    // set arithmetic over the hashes, and the persisted signature history
+    // stores ~5–10× fewer bytes per document (the round-7 storage-scale
+    // flaw: shingle strings are ~2–3× the corpus on disk).
     df.select(col(idCol),
-        graft.functions.TextExpressions.word_shingles(col(textCol), shingleN,
-          distinct = true).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", TextOps.minhashSignature(col("sh"), numHashes))
+        graft.functions.TextExpressions.minhash_bundle(col(textCol), shingleN,
+          distinct = true, numHashes).as("__mh"))
+      .where(col("__mh").isNotNull)
+      .select(col(idCol), col("__mh.sh").as("sh"), col("__mh.sig").as("sig"))
 
   /**
    * INCREMENTAL near-dup: candidate pairs touching a NEW batch, against a
@@ -294,7 +302,8 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     graft.sink.SnapshotSink.appendMissing(sigs, table, idCol, Seq.empty,
       lineage = Map("op" -> "minhash_signatures",
-        "shingle_n" -> shingleN.toString, "num_hashes" -> numHashes.toString))
+        "shingle_n" -> shingleN.toString, "num_hashes" -> numHashes.toString,
+        "sh_encoding" -> "xxh64s42"))
     ()
   }
 
@@ -310,6 +319,14 @@ object Dedup {
       require(sn.forall(_ == shingleN.toString) && nh.forall(_ == numHashes.toString),
         s"signature table $table was built with shingle_n=${sn.orNull}, " +
           s"num_hashes=${nh.orNull}; consumer expects $shingleN/$numHashes")
+      // round-8 storage change: `sh` is the xxhash64 image of the shingle
+      // set (array<long>). A table written before that (no sh_encoding key)
+      // stores strings — refuse it loudly here instead of failing analysis
+      // deep inside the verify join.
+      require(snap.lineage.get("sh_encoding").contains("xxh64s42"),
+        s"signature table $table stores sh as " +
+          s"${snap.lineage.getOrElse("sh_encoding", "strings (pre-hashed-sh format)")}; " +
+          "this consumer reads xxh64s42 hashed shingles — re-sign the corpus")
     }
     graft.sink.SnapshotSink.read(spark, table)
   }
@@ -636,9 +653,13 @@ object Dedup {
                         leftText: String, rightText: String,
                         shingleN: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Int = 10000): DataFrame = {
+    // hashed shingle sets: the containment arithmetic is identical over the
+    // xxhash64 image of the string set (collision odds ≈ n²/2⁶⁵ per pair),
+    // and the inverted-index exchange carries 8-byte longs instead of
+    // ~25-byte n-gram strings
     def shingled(df: DataFrame, id: String, text: String, as: String) =
       df.select(col(id).as(as),
-        graft.functions.TextExpressions.word_shingles(col(text), shingleN,
+        graft.functions.TextExpressions.word_shingles_hashed(col(text), shingleN,
           distinct = true).as("sh"))
         .where(size(col("sh")) > 0)
     withPersistedStages(Seq(
@@ -718,9 +739,14 @@ object Dedup {
                      shingleN: Int = 3, threshold: Double = 0.8,
                      fpp: Double = 0.01): Option[BloomDoor] = {
     val spark = right.sparkSession
+    // hashed shingles end-to-end: the Bloom is built over the xxhash64 image
+    // of the benchmark shingle set and probed with `mightContainLong` — a
+    // string shingle on the training side hashes to the same long, so the
+    // no-false-negatives guarantee is unchanged; each probe costs one long
+    // hash instead of re-hashing string bytes
     val benchSh = right.select(
-      graft.functions.TextExpressions.word_shingles(col(rightText), shingleN,
-        distinct = true).as("sh"))
+      graft.functions.TextExpressions.word_shingles_hashed(col(rightText),
+        shingleN, distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -742,8 +768,8 @@ object Dedup {
     * verification); false is a proof of cleanliness. Stateless and
     * codegen'd — safe in any stream. */
   def bloomSuspect(text: Column, door: BloomDoor): Column =
-    graft.functions.BloomExpressions.bloom_hits(
-      graft.functions.TextExpressions.word_shingles(text, door.shingleN,
+    graft.functions.BloomExpressions.bloom_hits_long(
+      graft.functions.TextExpressions.word_shingles_hashed(text, door.shingleN,
         distinct = true), door.bloom) >= door.minHits
 
   def decontaminateBloom(left: DataFrame, right: DataFrame,
@@ -922,8 +948,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 10000): DataFrame = {
+    // hashed shingle sets (see crossNgramOverlap): Jaccard over the xxhash64
+    // image of the string set is value-identical up to ≈ n²/2⁶⁵ collision
+    // odds per pair; the inverted-index self-join and the verify join-backs
+    // move 8-byte longs instead of n-gram strings
     val shingled = df.select(col(idCol),
-      graft.functions.TextExpressions.word_shingles(col(textCol), shingleN,
+      graft.functions.TextExpressions.word_shingles_hashed(col(textCol), shingleN,
         distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
     withPersistedStage(shingled) { base =>

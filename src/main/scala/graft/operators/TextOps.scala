@@ -706,29 +706,45 @@ object TextOps {
                   textCol: String, n: Int = 3, k: Double = 1.0): NbLang = {
     require(n > 0 && k > 0)
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = train.sparkSession
     val counts = train.select(col(langCol).as("lang"),
         explode(graft.functions.TextExpressions.char_shingles(
           col(textCol), n)).as("tri"))
       .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
       .persist(MEMORY_AND_DISK)
+    // TWO training scans total (the floor for count + doc-count tables; the
+    // former shape paid a third for a separate train.count()): per-lang doc
+    // counts collect to a |langs|-row local relation — the same bounded
+    // driver state the class broadcast already assumes — so totalDocs is a
+    // local sum and the classes join never re-scans the corpus at score time.
+    val dc = train.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs")).collect()
+    val totalDocs = dc.map(_.getLong(1)).sum
+    val docCounts = spark.createDataFrame(
+      java.util.Arrays.asList(dc: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val classes = counts.groupBy("lang").agg(sum("cnt").as("n_tris"))
-      .join(train.groupBy(col(langCol).as("lang"))
-        .agg(count(lit(1)).as("n_docs")), Seq("lang"))
+      .join(docCounts, Seq("lang"))
       .persist(MEMORY_AND_DISK)
-    val totalDocs = train.count()
-    val v = counts.select("tri").distinct().count()
+    // materializes the persisted count table in the same job
+    val v = counts.agg(count_distinct(col("tri"))).head().getLong(0)
     NbLang(counts, classes, totalDocs, v, k, n)
   }
 
   /**
    * Predict the language of every document under an [[NbLang]] model:
    * argmax over classes of log prior + Σ log P̂(trigram | lang) with add-k
-   * smoothing. Scale shape: one explode to (id, trigram) occurrence rows, a
-   * broadcast cross join against the (|langs|-row) class table, one left
-   * join against the count model, a per-(id, lang) partial-combined
-   * aggregate and a bounded-heap top-1 — documents never shuffle, and the
-   * per-doc work is |langs|× the trigram count (fine for real language
-   * sets; a 10⁴-class taxonomy would want a different join shape).
+   * smoothing. Scale shape: one explode to (id, trigram) occurrence rows,
+   * ONE equi-join against the model's per-trigram class-log-prob VECTOR
+   * table (built from the count model — still a DataFrame join: a 10⁹-row
+   * count table plans a shuffle join unchanged), one per-doc vec_sum
+   * partial-combined aggregate, and a row-local argmax — documents never
+   * shuffle and no stage is |langs|× the occurrence count (a 10⁴-class
+   * taxonomy would want a different join shape — the array is |langs| wide).
    * Documents shorter than n characters are absent (no features). Ties
    * break to the lexicographically first language. Returns
    * (idCol, lang = predicted class, score = log posterior up to the
@@ -737,25 +753,61 @@ object TextOps {
   def nbLangId(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, model: NbLang): org.apache.spark.sql.DataFrame = {
     require(model.vocabSize > 0, "nbLangId: empty model")
+    val spark = docs.sparkSession
     val kV = model.k * model.vocabSize
+    // Vectorized-by-class formulation: one row per MODEL trigram carrying the
+    // per-class smoothed log-likelihood array (classes in sorted-lang order),
+    // so scoring is explode → ONE equi-join on the trigram → ONE per-doc
+    // vec_sum aggregate → row-local argmax. The former shape cross-joined
+    // every trigram occurrence with the |langs|-row class table (|langs|× the
+    // exchange and aggregate volume) and ranked (id, lang) rows with a
+    // second shuffle; here the exchange carries one |langs|-length array per
+    // doc per map partition and the argmax never leaves the row. Per-element
+    // arithmetic is IDENTICAL (log((cnt+k)/(n_tris+kV)), unseen → cnt=0,
+    // prior = log(n_docs/total)); only summation order moves (≈1e-15, same
+    // class of noise as shuffle-order partial sums). The class list is
+    // bounded driver state by the operator's contract (the class table is
+    // already collected for the broadcast prior; a 10⁴-class taxonomy would
+    // want a different join shape — unchanged from the previous note).
+    // Ties break to the lexicographically first language: the scores array
+    // is in sorted-lang order and array_position returns the FIRST index of
+    // the max.
+    val langInfo = model.classes.select("lang", "n_tris", "n_docs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val L = langInfo.length
+    require(L > 0, "nbLangId: model has no classes")
+    val langsLit = array(langInfo.map(i => lit(i._1)): _*)
+    val priorsLit = array(langInfo.map(i =>
+      lit(math.log(i._3 / model.totalDocs.toDouble))): _*)
+    val defaultsLit = array(langInfo.map(i =>
+      lit(math.log(model.k / (i._2 + kV)))): _*)
+    val idxDf = broadcast(spark.createDataFrame(
+      langInfo.zipWithIndex.map { case ((l, nTris, _), i) =>
+        (l, i, nTris + kV) }.toSeq).toDF("lang", "__idx", "__denom"))
+    val triVec = model.counts
+      .join(idxDf, Seq("lang"))
+      .groupBy("tri")
+      .agg(map_from_entries(collect_list(struct(col("__idx"),
+        log((col("cnt") + model.k) / col("__denom"))))).as("__m"))
+      .select(col("tri"), transform(sequence(lit(0), lit(L - 1)),
+        i => coalesce(element_at(col("__m"), i),
+          element_at(defaultsLit, i + 1))).as("__lp"))
     val tris = docs.select(col(idCol),
       explode(graft.functions.TextExpressions.char_shingles(
         col(textCol), model.n)).as("tri"))
-    val scored = tris
-      .crossJoin(broadcast(model.classes.select(col("lang"), col("n_tris"))))
-      .join(model.counts, Seq("lang", "tri"), "left")
-      .groupBy(col(idCol), col("lang"))
-      .agg(sum(log((coalesce(col("cnt"), lit(0L)) + model.k) /
-        (col("n_tris") + kV))).as("__ll"))
-    val withPrior = scored
-      .join(broadcast(model.classes.select(col("lang"),
-        log(col("n_docs") / model.totalDocs.toDouble).as("__prior"))),
-        Seq("lang"))
-      .select(col(idCol), col("lang"),
-        (col("__ll") + col("__prior")).as("score"))
-    Similarity.topKPerGroup(withPrior, Seq(idCol), "score", "lang",
-        k = 1, ascending = false)
-      .drop("rank")
+    val summed = tris
+      .join(triVec, Seq("tri"), "left")
+      .select(col(idCol), coalesce(col("__lp"), defaultsLit).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.VecAggregates.vec_sum(col("__lp")).as("__ll"))
+    summed
+      .select(col(idCol),
+        zip_with(col("__ll"), priorsLit, (a, b) => a + b).as("__sc"))
+      .withColumn("__best",
+        array_position(col("__sc"), array_max(col("__sc"))).cast("int"))
+      .select(col(idCol),
+        element_at(langsLit, col("__best")).as("lang"),
+        element_at(col("__sc"), col("__best")).as("score"))
   }
 
   /** Collect an [[NbLang]] into the broadcastable driver-state form the

@@ -207,17 +207,21 @@ class PlanSpec extends AnyFunSuite {
     } finally lm.release()
   }
 
-  test("NB langid: class table broadcast, partial-combined (id, lang) " +
-    "aggregate, bounded_top_k argmax — no Window, no UDF") {
+  test("NB langid: one trigram equi-join, partial-combined per-doc vec_sum, " +
+    "row-local argmax — no |langs|-multiplied stage, no Window, no UDF") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val model = graft.operators.TextOps.nbLangModel(docs, "lang", "text")
     try {
       val plan = planOf(graft.operators.TextOps.nbLangId(
         docs, "doc_id", "text", model))
       assert(plan.contains("ObjectHashAggregate"), plan.take(1000))
-      assert(plan.contains("partial_sum"), plan.take(1000))
-      assert(plan.contains("BroadcastNestedLoopJoin") ||
-        plan.contains("BroadcastHashJoin"), "class table must broadcast")
+      // per-doc class-vector sum is map-side partial before the id exchange
+      assert(plan.contains("partial_vec_sum"), plan.take(1000))
+      // the former shape cross-joined occurrences |langs|× before scoring —
+      // the vectorized shape must not multiply occurrence rows at all
+      assert(!plan.contains("CrossJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "no class cross-join may multiply the occurrence rows")
       assert(!plan.contains("Window") && !plan.contains("ScalaUDF"))
     } finally model.release()
   }
