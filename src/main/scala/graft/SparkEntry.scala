@@ -20,6 +20,17 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The documents table spread across cores: it is ONE small parquet file,
+    * so without an explicit repartition every row-local compute chain over
+    * it (regex signals, hashing, tokenize+aggregate) runs in a SINGLE scan
+    * task (the CLAUDE.md single-file trap — at production scale parallelism
+    * comes from file count, so the spread costs nothing there and is an
+    * artifact of the synthetic layout here). Round-robin repartition is
+    * deterministic (sort-before-repartition) and every consumer re-orders
+    * or aggregates, so results are unaffected. */
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+
   /** Deterministic IVFPQ model minted from the first 16 embeddings —
     * SHARED by q_embed_ivfpq and q_embed_rerank, whose DuckDB oracles both
     * hardcode this exact construction (8 centroids from the head, m=8
@@ -508,7 +519,7 @@ object SparkEntry {
         .when(m === 3, lit("\u00A0nbsp\u00A0run \uD840\uDC00\uD840\uDC01"))
         .otherwise(lit(""))
       val txt = concat(col("text"), tail)
-      t(s, dir, "documents")
+      docsSpread(s, dir)
         .select(col("doc_id"),
           TextOps.tokenCount(txt).cast("long").as("n_tokens_ws"),
           TextOps.tokenCountUnicode(txt).cast("long").as("n_tokens"))
@@ -532,7 +543,7 @@ object SparkEntry {
         .when(m4 === 2, lit(" ### ## # 123 456 789 ..."))
         .otherwise(lit(" the data have to be of use with care"))
       val g = TextOps.gopherQuality(concat(rep, tail))
-      t(s, dir, "documents")
+      docsSpread(s, dir)
         .select(col("doc_id"), g.as("g"))
         .select(col("doc_id"),
           col("g.n_words").as("n_words"),
@@ -882,7 +893,7 @@ object SparkEntry {
     // has none) so the masking path is actually exercised, then masked with
     // typed placeholders. Row-local regexp_replace — stays in codegen.
     "q_redact" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docsSpread(s, dir)
         .select(col("doc_id"), Curation.redact(concat(
           col("text"), lit(" contact u"), col("doc_id").cast("string"),
           lit("@ex-a.co or see https://ex.co/d/"),
@@ -917,7 +928,7 @@ object SparkEntry {
           "bad:&#0;&#xD800;&#1114112;&#123456789;&#x1234567;&#;&#x; " +
           "one-level:&amp;#65; tail</p>"),
         lit("</div></body></html>"))
-      t(s, dir, "documents")
+      docsSpread(s, dir)
         .select(col("doc_id"), Curation.stripMarkup(html).as("clean_text"))
         .orderBy("doc_id")
     }),
@@ -1222,7 +1233,7 @@ object SparkEntry {
       val groups = Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.6))
       Dedup.keepBestRepresentatives(docs, "doc_id", groups,
-        size(TextOps.tokens(col("text"))))
+        TextOps.tokenCount(col("text")))
         .select("doc_id").orderBy("doc_id")
     }),
 

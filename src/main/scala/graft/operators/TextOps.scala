@@ -20,7 +20,14 @@ object TextOps {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token COUNT without materializing the token array: the number of \S+
+    * runs equals size([[tokens]]) on every input (blank → 0 matches, and
+    * split-with-trim yields exactly one token per non-space run), but
+    * `regexp_count` is a single counting scan — no per-token string or
+    * array allocation. Counting feeds every token-budget consumer
+    * (gopher, mix reports, rebalance, packing), so the allocation-free form
+    * matters on a 100 TB scan. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
   /** CJK single-codepoint ranges (Han incl. Ext-A/B + compatibility, Hiragana,
     * Katakana incl. phonetic extensions, Hangul syllables) as explicit
@@ -56,7 +63,8 @@ object TextOps {
   def tokensUnicode(text: Column): Column =
     regexp_extract_all(text, lit(unicodeTokenPattern), lit(0))
 
-  def tokenCountUnicode(text: Column): Column = size(tokensUnicode(text))
+  def tokenCountUnicode(text: Column): Column =
+    regexp_count(text, lit(unicodeTokenPattern))
 
   /** Resolve a tokenizer OPTION name to a token-count column — the knob the
     * token-budget consumers ([[Curation.rebalanceMixTokens]],
@@ -81,7 +89,7 @@ object TextOps {
     * verified by the non-BMP case in TextOpsSpec. */
   val bpeTokenPattern: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+    regexp_count(text, lit(bpeTokenPattern))
 
   /** Learned-BPE tokenization — the model-ingestible complement of the
     * [[tokenCountBpe]] ESTIMATE: apply a merge table learned by
@@ -145,8 +153,11 @@ object TextOps {
 
   def qualityScore(text: Column): Column = {
     val len = length(text).cast("double")
-    val punct = (len - length(regexp_replace(text, "[.,!?;:]", ""))) / greatest(len, lit(1.0))
-    val digit = (len - length(regexp_replace(text, "[0-9]", ""))) / greatest(len, lit(1.0))
+    // regexp_count = the former length-minus-replaced arithmetic (each match
+    // is exactly one removed character) without allocating the two stripped
+    // copies of the document
+    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double") / greatest(len, lit(1.0))
+    val digit = regexp_count(text, lit("[0-9]")).cast("double") / greatest(len, lit(1.0))
     val ntok = tokenCount(text).cast("double")
     val raw = lit(0.5) + lit(0.5) * least(ntok, lit(200.0)) / lit(200.0) - punct - digit
     greatest(lit(0.0), least(lit(1.0), raw))
@@ -207,19 +218,22 @@ object TextOps {
    * composes with any scan at 100 TB.
    */
   def gopherQuality(text: Column, cfg: GopherConfig = GopherConfig()): Column = {
+    // every count signal is a regexp_count scan — the former
+    // size(regexp_extract_all(...)) forms materialized a match array per
+    // signal per document just to take its length
     val nWords = tokenCount(text).cast("long")
     val safeW = greatest(nWords, lit(1L)).cast("double")
-    val meanLen = length(regexp_replace(text, "[ \\t\\n\\r]+", ""))
+    val meanLen = (length(text) - regexp_count(text, lit("[ \\t\\n\\r]")))
       .cast("double") / safeW
-    val symbolRatio = size(regexp_extract_all(text,
-      lit(gopherSymbolPattern), lit(0))).cast("double") / safeW
-    val nLines = size(split(text, "\n")).cast("double")
-    val bulletFrac = size(regexp_extract_all(text,
-      lit(gopherBulletLinePattern), lit(0))).cast("double") / greatest(nLines, lit(1.0))
-    val ellipsisFrac = size(regexp_extract_all(text,
-      lit(gopherEllipsisLinePattern), lit(0))).cast("double") / greatest(nLines, lit(1.0))
-    val alphaFrac = size(regexp_extract_all(text,
-      lit(gopherAlphaWordPattern), lit(0))).cast("double") / safeW
+    val symbolRatio = regexp_count(text,
+      lit(gopherSymbolPattern)).cast("double") / safeW
+    val nLines = (regexp_count(text, lit("\n")) + 1).cast("double")
+    val bulletFrac = regexp_count(text,
+      lit(gopherBulletLinePattern)).cast("double") / greatest(nLines, lit(1.0))
+    val ellipsisFrac = regexp_count(text,
+      lit(gopherEllipsisLinePattern)).cast("double") / greatest(nLines, lit(1.0))
+    val alphaFrac = regexp_count(text,
+      lit(gopherAlphaWordPattern)).cast("double") / safeW
     val nStop = size(array_distinct(
       regexp_extract_all(lower(text), lit(gopherStopwordPattern), lit(0))))
       .cast("int")

@@ -152,10 +152,16 @@ class PlanSpec extends AnyFunSuite {
     "exchange, no UDF — pure codegen'd scans") {
     Seq("q_gopher_quality", "q_strip_html").foreach { q =>
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
-      // only the presentation orderBy may exchange; no join/agg shuffles
-      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      // only the presentation orderBy and the explicit input spread
+      // (round-robin over the single-file documents table — an artifact of
+      // the synthetic layout, not an op shuffle) may exchange; no join/agg
+      // shuffles from the operator itself
+      val exchanges = plan.linesIterator
+        .filter(_.contains("Exchange"))
+        .count(l => !l.contains("REPARTITION_BY_NUM") &&
+          !l.contains("RoundRobinPartitioning"))
       assert(exchanges <= 1, s"$q: row-local op must not shuffle beyond the " +
-        s"final presentation sort ($exchanges exchanges)")
+        s"final presentation sort ($exchanges non-spread exchanges)")
       assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
         s"$q must stay UDF-free")
     }
