@@ -443,9 +443,14 @@ object Dedup {
     // every sweep joins edges on src, and a cache that already carries that
     // partitioning means the (corpus-scale) edge side is shuffled ONCE at
     // setup instead of once per sweep — only the (small) label side moves
+    // no distinct: min-label propagation is identical on a multigraph
+    // (duplicate edges duplicate messages into the SAME min-aggregate), and
+    // the callers' pair generators already emit distinct (id_a < id_b) pairs
+    // — the former distinct() was one full extra exchange of the edge set
+    // before the cache
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().repartition(col("src")).cache()
+      .repartition(col("src")).cache()
     // Each sweep MUST truncate lineage (localCheckpoint), not just cache:
     // labels_i references labels_{i-1} twice (join + message aggregate), so
     // the logical plan doubles per sweep and the analyzer — which sees plans,

@@ -77,8 +77,13 @@ object Dsir {
       .withColumnRenamed("cnt", "ct").persist(StorageLevel.MEMORY_AND_DISK)
     val rc = bucketCounts(raw, textCol, buckets)
       .withColumnRenamed("cnt", "cr").persist(StorageLevel.MEMORY_AND_DISK)
-    val totT = tc.agg(coalesce(sum("ct"), lit(0L))).head.getLong(0)
-    val totR = rc.agg(coalesce(sum("cr"), lit(0L))).head.getLong(0)
+    // ONE action for both totals (the two 1-row aggregates union and their
+    // cached count stages materialize inside the same job) — the former
+    // two head() calls paid two job barriers for two scalars
+    val tots = tc.agg(coalesce(sum("ct"), lit(0L)).as("tot"))
+      .unionByName(rc.agg(coalesce(sum("cr"), lit(0L)).as("tot"))).collect()
+    val totT = tots(0).getLong(0)
+    val totR = tots(1).getLong(0)
     val denomT = totT + alpha * buckets
     val denomR = totR + alpha * buckets
     val ratios = tc.join(rc, Seq("bucket"), "full_outer")
