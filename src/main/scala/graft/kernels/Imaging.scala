@@ -32,16 +32,61 @@ object Imaging {
     * JDK 17 ImageIO handles greyscale JPEGs natively — the reference's vendored
     * ImageIOGreyScale fallback (utl/ImageIOGreyScale.java) existed for an older
     * JDK bug; we keep the try-twice shape for robustness. */
+  // Per-thread reusable ImageReaders, dispatched on the container's magic
+  // bytes: ImageIO.read pays a service-registry scan + reader allocation +
+  // disposal PER CALL — pure fixed cost that dominates decode for small
+  // images. The cached reader is the same first-registered reader class
+  // ImageIO.read would select for the sniffed format, driven with the same
+  // (read(0, defaultParam)) call, so the decoded BufferedImage is
+  // bit-identical; unknown magics and any reader failure fall back to the
+  // original ImageIO.read path. ImageReader is not thread-safe → ThreadLocal.
+  private val tlReaders =
+    new ThreadLocal[Array[javax.imageio.ImageReader]] {
+      override def initialValue(): Array[javax.imageio.ImageReader] =
+        Array("jpeg", "png", "gif").map { f =>
+          val it = ImageIO.getImageReadersByFormatName(f)
+          if (it.hasNext) it.next() else null
+        }
+    }
+
+  /** 0=jpeg, 1=png, 2=gif, -1=unknown. */
+  private def sniffFormat(b: Array[Byte]): Int =
+    if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) 0
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') 1
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') 2
+    else -1
+
+  private def readViaImageIO(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch {
+      case _: IllegalArgumentException =>
+        // reference retry path (grayscale JPEG, wrong ICC) — re-attempt once
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Throwable => None }
+      case _: Throwable => None
+    }
+
   def decode(bytes: Array[Byte]): Option[Raster] = {
     if (bytes == null || bytes.length == 0) return None
-    val img =
-      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-      catch {
-        case _: IllegalArgumentException =>
-          // reference retry path (grayscale JPEG, wrong ICC) — re-attempt once
-          try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-          catch { case _: Throwable => None }
-        case _: Throwable => None
+    val fmt = sniffFormat(bytes)
+    val reader = if (fmt >= 0) tlReaders.get()(fmt) else null
+    val img: Option[BufferedImage] =
+      if (reader == null) readViaImageIO(bytes)
+      else {
+        val attempt =
+          try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new ByteArrayInputStream(bytes))
+            try {
+              reader.setInput(iis, true, true)
+              Option(reader.read(0, reader.getDefaultReadParam))
+            } finally {
+              reader.reset() // drop the input reference; reader is reused
+              iis.close()
+            }
+          } catch { case _: Throwable => None }
+        attempt.orElse(readViaImageIO(bytes))
       }
     img.map(toRaster)
   }
@@ -140,23 +185,23 @@ object Imaging {
       val y1 = math.min(r.h - 1, y0 + 1)
       val wy = math.max(0.0, math.min(1.0, fy - y0))
       val row0 = y0 * r.w; val row1 = y1 * r.w
+      val rowOut = y * tw
       x = 0
       while (x < tw) {
         val wx = wxs(x)
         val p00 = r.pixels(row0 + xs0(x)); val p01 = r.pixels(row0 + xs1(x))
         val p10 = r.pixels(row1 + xs0(x)); val p11 = r.pixels(row1 + xs1(x))
-        var packed = 0
-        var shift = 16
-        while (shift >= 0) {
+        // channel loop unrolled (same per-channel arithmetic in the same
+        // order — bit-identical to the shift-loop form, ~25% fewer ops)
+        @inline def ch(shift: Int): Int = {
           val c00 = (p00 >> shift) & 0xff; val c01 = (p01 >> shift) & 0xff
           val c10 = (p10 >> shift) & 0xff; val c11 = (p11 >> shift) & 0xff
           val top = c00 + (c01 - c00) * wx
           val bot = c10 + (c11 - c10) * wx
           val v = math.round(top + (bot - top) * wy).toInt
-          packed |= (math.max(0, math.min(255, v)) << shift)
-          shift -= 8
+          math.max(0, math.min(255, v))
         }
-        out(y * tw + x) = packed
+        out(rowOut + x) = (ch(16) << 16) | (ch(8) << 8) | ch(0)
         x += 1
       }
       y += 1
