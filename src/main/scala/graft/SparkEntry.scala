@@ -31,6 +31,32 @@ object SparkEntry {
   private def docsSpread(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
 
+  /** Partition count derived from the table's on-disk size (guide §2:
+    * scale-ADAPTIVE spread, never a constant tuned to the host): one
+    * partition per ~128 KB of parquet, clamped to [2, defaultParallelism].
+    * Rationale, measured this round: the per-document work of the dedup
+    * family (shingle+hash ≈ 20 µs, minhash bundle ≈ 30 µs) is microscopic
+    * next to Spark's per-task/per-stage fixed costs at full width — 32-way
+    * spreads made every one of the family's ~8 exchanges pay 32 shuffle
+    * writers × 32 bucket files plus a 32-task codegen-compile lock convoy
+    * per stage, which dominated the dedup queries end-to-end. A size-derived
+    * count keeps the spread proportional to the data (it GROWS to the full
+    * width on a bigger corpus) instead of inheriting the core count. */
+  private def sizeSpreadParts(spark: SparkSession, dir: String,
+                              name: String): Int = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val bytes =
+      if (f.isDirectory) f.listFiles.filter(_.isFile).map(_.length).sum
+      else f.length
+    math.max(2, math.min(spark.sparkContext.defaultParallelism,
+      (bytes / (128L * 1024)).toInt))
+  }
+
+  /** documents spread over a size-derived partition count (dedup family). */
+  private def docsSpreadSized(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .repartition(sizeSpreadParts(spark, dir, "documents"))
+
   /** Deterministic IVFPQ model minted from the first 16 embeddings —
     * SHARED by q_embed_ivfpq and q_embed_rerank, whose DuckDB oracles both
     * hardcode this exact construction (8 centroids from the head, m=8
@@ -104,13 +130,16 @@ object SparkEntry {
                             maxDocs: Long = Long.MaxValue): DataFrame = {
     // the testdata documents table is ONE small parquet file → one scan
     // partition; spread the (CPU-heavy) shingle/signature work across cores
-    // the way a many-file production table would be
+    // the way a many-file production table would be. Repartition ONCE after
+    // the union: the former per-branch repartition gave every downstream
+    // stage 2×cores partitions — at this row count the per-task fixed cost
+    // dominates, and one exchange replaces two.
     val docs = t(spark, dir, "documents").where(col("doc_id") < maxDocs)
-      .repartition(spark.sparkContext.defaultParallelism)
     val dupes = docs.where(col("doc_id") < n)
       .select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
     docs.select("doc_id", "text").unionByName(dupes)
+      .repartition(sizeSpreadParts(spark, dir, "documents"))
   }
 
   /** Documents with deterministic INTERNAL repeats (every 7th doc's text is
@@ -120,7 +149,7 @@ object SparkEntry {
     * the range merge is exercised end-to-end. */
   private def docsWithSelfRepeats(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "documents").where(col("doc_id") < 200)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(sizeSpreadParts(spark, dir, "documents"))
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("text")))
           .otherwise(col("text")).as("text"))
@@ -609,7 +638,7 @@ object SparkEntry {
       // documents is ONE parquet file — without an explicit repartition the
       // whole tokenize+explode runs in a single task (CLAUDE.md trap)
       t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
         .select(explode(
           graft.functions.TextExpressions.word_shingles(col("text"), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
@@ -632,7 +661,7 @@ object SparkEntry {
     // (smoothed log-likelihood sum + prior + argmax) replay end-to-end.
     "q_langid_nb" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), concat(col("text"),
           lit(" qx"), col("lang"), lit(" qx"), col("lang"),
           lit(" qx"), col("lang")).as("text"))
@@ -660,7 +689,7 @@ object SparkEntry {
       // documents is ONE parquet file — explicit repartition or the whole
       // tokenize+chunk+explode runs in a single task (CLAUDE.md trap)
       TextOps.chunkTokens(
-        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        t(s, dir, "documents").repartition(sizeSpreadParts(s, dir, "documents")),
         "doc_id", "text", chunkSize = 64)
         .orderBy("doc_id", "chunk_idx")
     }),
@@ -670,6 +699,9 @@ object SparkEntry {
     // The Window partitions by shard (the parallelism unit) — never an
     // unpartitioned global Window; only (id, n_tokens) pairs shuffle.
     "q_pack_sequences" -> ((s, dir) => {
+      // full-width spread (measured: the size-derived count regressed this
+      // one — the shard Window re-partitions anyway and the tokenization
+      // benefits from the wider first stage)
       TextOps.packSequences(
         t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", seqLen = 256, numShards = 8)
@@ -681,7 +713,7 @@ object SparkEntry {
     // Window (single-task trap).
     "q_vocabulary" -> ((s, dir) => {
       TextOps.vocabulary(
-        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        t(s, dir, "documents").repartition(sizeSpreadParts(s, dir, "documents")),
         "doc_id", "text", minCount = 5L)
         .orderBy("token_id")
     }),
@@ -706,7 +738,7 @@ object SparkEntry {
     // ln/round pair already proven by q_tfidf.
     "q_lm_perplexity" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val lm = TextOps.bigramLm(docs, "text", k = 0.1)
       try {
         TextOps.lmScore(docs, "doc_id", "text", lm)
@@ -724,7 +756,7 @@ object SparkEntry {
     // joins + the backoff CASE cascade) end-to-end.
     "q_sb_trigram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val lm = TextOps.stupidBackoffLm(docs, "text")
       try {
         TextOps.sbScore(docs, "doc_id", "text", lm)
@@ -742,7 +774,7 @@ object SparkEntry {
     // oracle replays LM train + score + ROW_NUMBER ranking end-to-end.
     "q_perplexity_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val lm = TextOps.bigramLm(docs, "text", k = 0.1)
       try {
         TextOps.perplexityBucketsWith(docs, "doc_id", "text", lm) { b =>
@@ -770,7 +802,7 @@ object SparkEntry {
     // Learn → persistence round-trip → native Viterbi encode, like BPE.
     "q_unigram_tokenize" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val learned = graft.ml.Unigram.learn(docs, "text", vocabSize = 600,
         maxWords = 20000, minCount = 2L)
       val model = graft.ml.Unigram.parseUnigramFile(
@@ -791,7 +823,7 @@ object SparkEntry {
 
     "q_bpe_tokenize" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val learned = graft.ml.Bpe.learn(docs, "text", numMerges = 200,
         maxWords = 20000, minCount = 2L)
       val model = graft.ml.Bpe.parseBpeFile(
@@ -818,7 +850,7 @@ object SparkEntry {
     // per-row `separated` flag makes a broken model flip visible rows.
     "q_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val train = docs.where(col("doc_id") < 300)
         .select(col("text"), lit(1.0).as("label"))
         .unionByName(docs.where(col("doc_id") < 300)
@@ -843,7 +875,7 @@ object SparkEntry {
     // <unk>-free guarantee).
     "q_bpe_tokenize_bytes" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val learned = graft.ml.Bpe.learn(docs, "text", numMerges = 200,
         maxWords = 20000, minCount = 2L, byteLevel = true)
       val model = graft.ml.Bpe.parseBpeFile(
@@ -942,7 +974,7 @@ object SparkEntry {
     // (xxhash64, sha2-256) fingerprint, so a fingerprint bug hash-fails.
     "q_remove_boilerplate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
         .select(col("doc_id"), concat(
           col("text"), lit("\nuniq marker "), col("doc_id").cast("string"),
           when(pmod(col("doc_id"), lit(3)) === 0,
@@ -959,7 +991,7 @@ object SparkEntry {
     // duplication plus the keeper's deterministic tie-break.
     "q_dedup_paragraphs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
         .select(col("doc_id"), concat(
           col("text"),
           lit("\nshared quote "), pmod(col("doc_id"), lit(50)).cast("string"),
@@ -1080,7 +1112,7 @@ object SparkEntry {
     // production hash would make this rows-only).
     "q_dsir_select" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val target = docs.where(col("source").isin("src0", "src1"))
       val model = Dsir.dsirModel(docs, target, "text",
         buckets = 8192, alpha = 1.0)
@@ -1154,7 +1186,7 @@ object SparkEntry {
       // the occurrence-count join — persist it once (withPersistedStage rule)
       // so the corpus is tokenized a single time
       val tokStage = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       Dedup.withPersistedStage(tokStage) { toks =>
         val df = toks.select("doc_id", "tok").distinct()
@@ -1174,7 +1206,7 @@ object SparkEntry {
     // containment 1.0 — plus any organically near-identical corpus docs).
     "q_decontaminate" -> ((s, dir) => {
       val train = t(s, dir, "documents").select("doc_id", "text")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val bench = t(s, dir, "documents").where(col("doc_id") < 15)
         .select((col("doc_id") + 5000000).as("bench_id"),
           col("text").as("bench_text"))
@@ -1194,7 +1226,7 @@ object SparkEntry {
     // from q_decontaminate so the two queries can't mask each other.
     "q_decontaminate_bloom" -> ((s, dir) => {
       val train = t(s, dir, "documents").select("doc_id", "text")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
       val bench = t(s, dir, "documents")
         .where(col("doc_id") >= 10 && col("doc_id") < 25)
         .select((col("doc_id") + 6000000).as("bench_id"),
@@ -1301,7 +1333,7 @@ object SparkEntry {
     // DedupSpec proves prev ∪ incremental ≡ full recompute bit-for-bit.
     "q_minhash_lsh_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
         .select("doc_id", "text")
       val newBatch = docs.where(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
@@ -1332,7 +1364,7 @@ object SparkEntry {
     // q_minhash_lsh); the cross-vs-full equivalence is proven in DedupSpec.
     "q_minhash_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(sizeSpreadParts(s, dir, "documents"))
         .select("doc_id", "text")
       val bench = docs.where(col("doc_id") < 5)
         .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
