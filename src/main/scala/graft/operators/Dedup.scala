@@ -448,9 +448,15 @@ object Dedup {
     // the callers' pair generators already emit distinct (id_a < id_b) pairs
     // — the former distinct() was one full extra exchange of the edge set
     // before the cache
+    // partition count inherited from the pair input (scale-adaptive: a
+    // corpus-scale pair list arrives wide, the tiny checkpointed pair sets
+    // of the bench queries arrive in 1-2 partitions) — a fixed
+    // shuffle.partitions fan-out made every sweep pay full-width task
+    // overhead on id-only data
+    val numParts = math.max(2, pairs.rdd.getNumPartitions)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(col("src")).cache()
+      .repartition(numParts, col("src")).cache()
     // Each sweep MUST truncate lineage (localCheckpoint), not just cache:
     // labels_i references labels_{i-1} twice (join + message aggregate), so
     // the logical plan doubles per sweep and the analyzer — which sees plans,

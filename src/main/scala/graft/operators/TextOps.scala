@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
  */
 object TextOps {
 
+
+  /** Coalesce a (persisted) derived table to the INPUT's partition scale:
+    * groupBy materializes at spark.sql.shuffle.partitions, so a small
+    * cached model/stage table otherwise costs a full-width task wave on
+    * every one of its scans (measured: the fixed per-task cost of those
+    * waves dominated the LM queries). coalesce is exchange-free and the
+    * count inherits the corpus partitioning — corpus-scale models stay
+    * wide (scale-adaptive, guide §2). */
+  private def inputScaleParts(input: org.apache.spark.sql.DataFrame): Int =
+    math.max(2, input.rdd.getNumPartitions)
+
   /** Whitespace tokenization; empty/blank text → empty array (not [""]). */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
@@ -380,6 +391,7 @@ object TextOps {
         explode(col("__toks")).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("__tc"), first(col("__len")).as("__len"))
+      .coalesce(inputScaleParts(df))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = terms.select(count_distinct(col(idCol))).head().getLong(0)
     val docFreq = terms.groupBy(col("token")).agg(count(lit(1)).as("__df"))
@@ -442,6 +454,7 @@ object TextOps {
       .select(explode(graft.functions.TextExpressions.word_shingles(
         col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .coalesce(inputScaleParts(train))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tokens are whitespace-free by construction, so the bigram's first
     // token is recoverable row-locally — no second key column in the shuffle
@@ -534,6 +547,7 @@ object TextOps {
     val spark = docs.sparkSession
     val scored = lmScore(docs, idCol, textCol, model)
       .select(col(idCol), col("n_bigrams"), col("cross_entropy"))
+      .coalesce(inputScaleParts(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = scored.count()
     // Rank key is cross_entropy ROUNDED to 6 decimals (the same precision
@@ -633,7 +647,7 @@ object TextOps {
           col(textCol), n)).as(key))
         .groupBy(key).agg(count(lit(1)).as(cnt))
       (if (prune && minCount > 1) counts.where(col(cnt) >= minCount)
-       else counts).persist(MEMORY_AND_DISK)
+       else counts).coalesce(inputScaleParts(train)).persist(MEMORY_AND_DISK)
     }
     val uni = grams(1, "w", "c1", prune = false)
     val bg = grams(2, "bgk", "c2", prune = true)
@@ -737,6 +751,7 @@ object TextOps {
         explode(graft.functions.TextExpressions.char_shingles(
           col(textCol), n)).as("tri"))
       .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .coalesce(inputScaleParts(train))
       .persist(MEMORY_AND_DISK)
     // TWO training scans total (the floor for count + doc-count tables; the
     // former shape paid a third for a separate train.count()): per-lang doc
@@ -755,6 +770,7 @@ object TextOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
     val classes = counts.groupBy("lang").agg(sum("cnt").as("n_tris"))
       .join(docCounts, Seq("lang"))
+      .coalesce(2)
       .persist(MEMORY_AND_DISK)
     // materializes the persisted count table in the same job
     val v = counts.agg(count_distinct(col("tri"))).head().getLong(0)
