@@ -295,7 +295,12 @@ object Dedup {
     * minhashed (the F2 already-indexed discipline), so a re-run after a crash
     * or a grown re-curation pays for genuinely new documents only. LSH
     * parameters ride the snapshot lineage; [[readMinhashSignatures]] refuses
-    * a table whose recorded parameters disagree with the consumer's. */
+    * a table whose recorded parameters disagree with the consumer's.
+    *
+    * FIRST-WRITE-WINS: a re-appearing id with changed text keeps its
+    * originally committed signature (appendMissing never rewrites a
+    * committed key) — use content-derived ids if changed re-ingests must
+    * supersede (see the StreamingOps.nearDupDoor note). */
   def persistMinhashSignatures(df: DataFrame, table: String, idCol: String,
                                textCol: String, shingleN: Int = 3,
                                numHashes: Int = 64): Unit = {

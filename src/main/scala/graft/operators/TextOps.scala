@@ -668,8 +668,7 @@ object TextOps {
    * Scale shape: context keys are assembled ROW-LOCALLY from the token
    * array by the native compiled `token_contexts` expression (one pass per
    * document — no interpreted per-token lambda, no Window, no self-join),
-   * then one explode feeds three corpus-side model joins (denominator
-   * lookups pre-folded into the model tables) and a
+   * then one explode feeds five model joins keyed on n-gram strings and a
    * per-id aggregate: shuffles carry n-grams and ids, never document text.
    * Returns (idCol, n_tokens, sb_logscore).
    */
@@ -685,34 +684,31 @@ object TextOps {
         col("p.w1").as("w1"), col("p.w2").as("w2"))
       .withColumn("bgk", concat_ws(" ", col("w1"), col("w")))
       .withColumn("tgk", concat_ws(" ", col("w2"), col("w1"), col("w")))
-    // The denominator lookups fold into the MODEL tables (|model|-sized
-    // joins — tokens are whitespace-free, so an n-gram's prefix is
-    // recoverable from its own key): bgr carries S(w|w₋₁) = c₂/c₁(prefix)
-    // per seen bigram, tgr carries S(w|w₋₂w₋₁) = c₃/c₂(prefix) per seen
-    // trigram. The CORPUS path then pays THREE joins instead of five (and
-    // never builds the "w₋₂ w₋₁" prefix string per token). Safe under
-    // count pruning: a surviving n-gram's prefix always counts at least as
-    // much, so the model-side inner joins lose no rows (the collectSb
-    // invariant); per-row arithmetic is IDENTICAL (same casts, same
-    // divisions, same backoff branches).
-    val bgr = model.bigrams.join(
-        model.unigrams.select(col("w").as("__w1"), col("c1").as("__c1p")),
-        substring_index(col("bgk"), " ", 1) === col("__w1"))
-      .select(col("bgk"),
-        (col("c2").cast("double") / col("__c1p").cast("double")).as("__r2"))
-    val tgr = model.trigrams.join(
-        model.bigrams.select(col("bgk").as("__pgk"), col("c2").as("__c2p")),
-        substring_index(col("tgk"), " ", 2) === col("__pgk"))
-      .select(col("tgk"),
-        (col("c3").cast("double") / col("__c2p").cast("double")).as("__r3"))
+      .withColumn("pgk", concat_ws(" ", col("w2"), col("w1")))
+    // Five joins against the CACHED model tables, deliberately: folding the
+    // denominator lookups into derived ratio tables (tried this round) made
+    // the planner lose the cached tables' accurate size statistics — the
+    // derived join results' estimates blew past the broadcast threshold and
+    // the whole per-token occurrence table was exchanged for a shuffle join
+    // (measured: an 8 MB map-side write AQE could only repair after the
+    // fact). Joins against the persisted tables broadcast cleanly at model
+    // scale and degrade to shuffle joins at 10⁹ rows unchanged.
     val joined = pos
       .join(model.unigrams, Seq("w"), "left")
-      .join(bgr, Seq("bgk"), "left")
-      .join(tgr, Seq("tgk"), "left")
+      .join(model.unigrams.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "c1p"), Seq("w1"), "left")
+      .join(model.bigrams, Seq("bgk"), "left")
+      .join(model.bigrams.withColumnRenamed("bgk", "pgk")
+        .withColumnRenamed("c2", "c2p"), Seq("pgk"), "left")
+      .join(model.trigrams, Seq("tgk"), "left")
     val sUni = when(col("c1").isNull, lit(1.0) / n)
       .otherwise(col("c1").cast("double") / n)
-    val sBig = coalesce(col("__r2"), lit(a) * sUni)
-    val sTri = coalesce(col("__r3"), lit(a) * sBig)
+    val sBig = when(col("c2").isNotNull,
+      col("c2").cast("double") / col("c1p").cast("double"))
+      .otherwise(lit(a) * sUni)
+    val sTri = when(col("c3").isNotNull,
+      col("c3").cast("double") / col("c2p").cast("double"))
+      .otherwise(lit(a) * sBig)
     val s = when(col("pos") === 0, sUni)
       .when(col("pos") === 1, sBig).otherwise(sTri)
     joined.groupBy(col(idCol))

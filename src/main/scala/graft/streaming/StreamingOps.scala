@@ -115,8 +115,17 @@ object StreamingOps {
     * index a 100 TB batch backfill builds with
     * [[graft.operators.Dedup.persistMinhashSignatures]] — old documents are
     * never re-shingled, and a crash between (1) and (2) replays cleanly in
-    * either order (pair keys dedup; re-appearing ids take the new-batch
-    * signature). */
+    * either order (pair keys dedup).
+    *
+    * PERSISTENCE SEMANTICS — first-write-wins (r7 advice): `appendMissing`
+    * never rewrites a committed id, so a RE-APPEARING id with CHANGED text
+    * pairs correctly against the history *within its own batch* (the
+    * incremental operator prefers the new batch's signature there), but the
+    * HISTORY keeps the originally committed signature — later batches
+    * compare against the old content. If re-ingest-with-changed-content
+    * must supersede, key the stream by a content-derived id (the
+    * fingerprint idiom) so changed text IS a new id, or rebuild the
+    * signature table. */
   def nearDupDoor(docs: DataFrame, sigTable: String, pairsTable: String,
                   checkpointDir: String, idCol: String, textCol: String,
                   shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
