@@ -124,9 +124,11 @@ object Dedup {
     // word_shingles → minhash_signature pipeline, so LSH buckets and
     // candidate pairs do not move — while `sh` carries the xxhash64-hashed
     // shingle SET (array<long>, not strings): exact-Jaccard verification is
-    // set arithmetic over the hashes, and the persisted signature history
-    // stores ~5–10× fewer bytes per document (the round-7 storage-scale
-    // flaw: shingle strings are ~2–3× the corpus on disk).
+    // set arithmetic over the hashes, and the signature history's exchange /
+    // cache footprint drops ~3× (measured; parquet-at-rest roughly ties
+    // because word shingles compress — the round-7 storage concern is
+    // answered by the fixed 8-byte-per-shingle bound, which no longer
+    // scales with shingle text length).
     df.select(col(idCol),
         graft.functions.TextExpressions.minhash_bundle(col(textCol), shingleN,
           distinct = true, numHashes).as("__mh"))
@@ -672,7 +674,7 @@ object Dedup {
     // hashed shingle sets: the containment arithmetic is identical over the
     // xxhash64 image of the string set (collision odds ≈ n²/2⁶⁵ per pair),
     // and the inverted-index exchange carries 8-byte longs instead of
-    // ~25-byte n-gram strings
+    // ~25-byte n-gram strings (measured ~3× smaller in exchange format)
     def shingled(df: DataFrame, id: String, text: String, as: String) =
       df.select(col(id).as(as),
         graft.functions.TextExpressions.word_shingles_hashed(col(text), shingleN,
