@@ -660,11 +660,16 @@ object SparkEntry {
     // must LEARN them; train (counts, totals, priors, V) and predict
     // (smoothed log-likelihood sum + prior + argmax) replay end-to-end.
     "q_langid_nb" -> ((s, dir) => {
+      // the marker-docs projection feeds THREE passes (trigram counts,
+      // per-lang doc counts, scoring) — persist it for the query's lifetime
+      // (released after the eager checkpoint; computed fresh per invocation,
+      // nothing survives the run) so train+score scan the parquet once
       val docs = t(s, dir, "documents")
         .repartition(sizeSpreadParts(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), concat(col("text"),
           lit(" qx"), col("lang"), lit(" qx"), col("lang"),
           lit(" qx"), col("lang")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = TextOps.nbLangModel(docs, "lang", "text", n = 3, k = 1.0)
       try {
         TextOps.nbLangId(docs, "doc_id", "text", model)
@@ -672,7 +677,7 @@ object SparkEntry {
             round(col("score"), 6).as("score"))
           .orderBy("doc_id")
           .localCheckpoint(true)
-      } finally model.release()
+      } finally { model.release(); docs.unpersist(blocking = false); () }
     }),
 
     // Rolling-hash document fingerprint (xxhash64 — no SQL oracle).
@@ -739,6 +744,7 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .repartition(sizeSpreadParts(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lm = TextOps.bigramLm(docs, "text", k = 0.1)
       try {
         TextOps.lmScore(docs, "doc_id", "text", lm)
@@ -746,7 +752,7 @@ object SparkEntry {
             round(col("cross_entropy"), 6).as("cross_entropy"))
           .orderBy("doc_id")
           .localCheckpoint(true)
-      } finally lm.release()
+      } finally { lm.release(); docs.unpersist(blocking = false); () }
     }),
 
     // Stupid Backoff trigram scoring (Brants et al. 2007 — the smoothing
@@ -757,6 +763,7 @@ object SparkEntry {
     "q_sb_trigram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .repartition(sizeSpreadParts(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lm = TextOps.stupidBackoffLm(docs, "text")
       try {
         TextOps.sbScore(docs, "doc_id", "text", lm)
@@ -764,7 +771,7 @@ object SparkEntry {
             round(col("sb_logscore"), 6).as("sb_logscore"))
           .orderBy("doc_id")
           .localCheckpoint(true)
-      } finally lm.release()
+      } finally { lm.release(); docs.unpersist(blocking = false); () }
     }),
 
     // CCNet head/middle/tail perplexity buckets (Wenzek et al. §4.3):
@@ -775,6 +782,7 @@ object SparkEntry {
     "q_perplexity_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .repartition(sizeSpreadParts(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lm = TextOps.bigramLm(docs, "text", k = 0.1)
       try {
         TextOps.perplexityBucketsWith(docs, "doc_id", "text", lm) { b =>
@@ -784,7 +792,7 @@ object SparkEntry {
             .orderBy("doc_id")
             .localCheckpoint(true)
         }
-      } finally lm.release()
+      } finally { lm.release(); docs.unpersist(blocking = false); () }
     }),
 
     // Learned BPE tokenization end-to-end: distributed word-count aggregate →
@@ -1111,8 +1119,11 @@ object SparkEntry {
     // end-to-end (the md5-prefix hash is the cross-engine seam — a faster
     // production hash would make this rows-only).
     "q_dsir_select" -> ((s, dir) => {
+      // docs feed three passes (raw fit, target fit, scoring) — persisted
+      // for the query's lifetime, released after the eager checkpoint
       val docs = t(s, dir, "documents")
         .repartition(sizeSpreadParts(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val target = docs.where(col("source").isin("src0", "src1"))
       val model = Dsir.dsirModel(docs, target, "text",
         buckets = 8192, alpha = 1.0)
@@ -1123,7 +1134,7 @@ object SparkEntry {
             round(col("gumbel_key"), 6).as("gumbel_key"))
           .orderBy("doc_id")
           .localCheckpoint(true)
-      } finally model.release()
+      } finally { model.release(); docs.unpersist(blocking = false); () }
     }),
 
     // End-to-end curation COMPOSITION, oracle-checked as one program:
@@ -1143,11 +1154,19 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val normalized = unioned.select(col("doc_id"),
         Curation.normalize(col("text")).as("text"))
+      // the normalize+blocklist stage feeds BOTH exactDedup passes (the
+      // fingerprint groupBy and the keep semi-join) — persist it for the
+      // query's lifetime, released after the eager checkpoint, so the
+      // normalization regex chain runs once
       val clean = Curation.filterBlocklist(normalized, "text", kws)
-      Dedup.exactDedup(clean, "doc_id", "text")
-        .select(col("doc_id"), Curation.splitAssign(col("doc_id")).as("split"),
-          col("text"))
-        .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Dedup.exactDedup(clean, "doc_id", "text")
+          .select(col("doc_id"), Curation.splitAssign(col("doc_id")).as("split"),
+            col("text"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally { clean.unpersist(blocking = false); () }
     }),
 
     // ------------------------------------------------------- deduplication
