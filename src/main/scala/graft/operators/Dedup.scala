@@ -33,6 +33,37 @@ object Dedup {
     banded.join(ok, keys, "left_semi")
   }
 
+  /** Within-bucket ordered candidate pairs in ONE pass over the banded
+    * index: a bounded heap keeps up to maxBucket+1 member ids per bucket
+    * map-side (BoundedTopK), so the hot-bucket guard FUSES into the
+    * aggregate — a bucket over the cap yields maxBucket+1 entries and is
+    * dropped, keeping members exactly when bucket size ≤ maxBucket, i.e.
+    * bit-identical candidates to the former count + semi-join guard — and
+    * ordered pairs then generate ROW-LOCALLY from the sorted member array
+    * via native slice. Replaces THREE passes over the banded index (the
+    * guard count and both self-join sides) and the join itself with one
+    * partial-combined aggregate, and a degenerate hot bucket never
+    * materializes beyond k+1 heap entries anywhere (the former shape never
+    * materialized it either, but paid two extra passes for that property).
+    * REQUIRES ids unique within a bucket (true for the self-join callers;
+    * the cross-corpus operators keep the two-sided join — their id spaces
+    * may overlap). `payloadCol` rides per member un-compared (lit(0) when
+    * unused; must be a BoundedTopK-serializable primitive).
+    * Returns (id_a, id_b, __p_a, __p_b) with id_a < id_b. */
+  private def cappedBucketPairs(banded: DataFrame, keys: Seq[String],
+                                idCol: String, payloadCol: Column,
+                                maxBucket: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(graft.functions.BoundedTopK.topK(col(idCol), col(idCol),
+        payloadCol, maxBucket + 1, ascending = true).as("__m"))
+      .where(size(col("__m")).between(2, maxBucket))
+      .select(posexplode(col("__m")).as(Seq("__i", "__a")), col("__m"))
+      .select(col("__a.id").as("id_a"), col("__a.payload").as("__p_a"),
+        explode(slice(col("__m"), col("__i") + lit(2), size(col("__m"))))
+          .as("__b"))
+      .select(col("id_a"), col("__b.id").as("id_b"),
+        col("__p_a"), col("__b.payload").as("__p_b"))
+
   /** Run `build` with `stage` persisted, then materialize the (small) pair
     * output and release the stage. The candidate-generation operators read
     * their signature stage 3–6× (capBuckets count + probe, the pair self-join's
@@ -267,18 +298,14 @@ object Dedup {
                            rowsPerBand: Int, threshold: Double,
                            maxBucket: Int, newOnly: Boolean): DataFrame = {
     val banded = bandBuckets(withSig, idCol, bands, rowsPerBand)
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    // candidate pairs as IDS ONLY — the (largish) shingle arrays are joined
-    // back once per surviving pair, instead of riding through the bucket
-    // self-join and the dedup shuffle
-    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"),
-      col("__new").as("__new_a"))
-    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"),
-      col("__new").as("__new_b"))
-    val joined = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    // one-pass capped pair generation (see cappedBucketPairs) — candidates
+    // ride as IDS ONLY; the shingle arrays join back once per surviving
+    // pair, never through the bucket machinery or the dedup shuffle
+    val rawPairs = cappedBucketPairs(banded, Seq("band", "bucket"), idCol,
+      when(col("__new"), lit(1)).otherwise(lit(0)), maxBucket)
     val candidates =
-      (if (newOnly) joined.where(col("__new_a") || col("__new_b")) else joined)
+      (if (newOnly) rawPairs.where(col("__p_a") === 1 || col("__p_b") === 1)
+       else rawPairs)
         .select("id_a", "id_b")
         .dropDuplicates("id_a", "id_b")
     val base = withSig.select(col(idCol), col("sh"))
@@ -975,12 +1002,13 @@ object Dedup {
         distinct = true).as("sh"))
       .where(size(col("sh")) > 0)
     withPersistedStage(shingled) { base =>
-      val inv = capBuckets(
+      // one-pass capped pair generation over the inverted index (see
+      // cappedBucketPairs — the former count+semi-join guard and the
+      // x×y self-join read the exploded index three times)
+      val pairs = cappedBucketPairs(
         base.select(col(idCol), explode(col("sh")).as("shingle")),
-        Seq("shingle"), maxShingleDf)
-      val pairs = inv.as("x").join(inv.as("y"), col("x.shingle") === col("y.shingle"))
-        .where(col(s"x.$idCol") < col(s"y.$idCol"))
-        .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+        Seq("shingle"), idCol, lit(0), maxShingleDf)
+        .select("id_a", "id_b")
         .dropDuplicates("id_a", "id_b")
       pairs
         .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
