@@ -50,7 +50,7 @@ object Dedup {
     * may overlap). `payloadCol` rides per member un-compared (lit(0) when
     * unused; must be a BoundedTopK-serializable primitive).
     * Returns (id_a, id_b, __p_a, __p_b) with id_a < id_b. */
-  private def cappedBucketPairs(banded: DataFrame, keys: Seq[String],
+  private[operators] def cappedBucketPairs(banded: DataFrame, keys: Seq[String],
                                 idCol: String, payloadCol: Column,
                                 maxBucket: Int): DataFrame =
     banded.groupBy(keys.map(col): _*)

@@ -348,14 +348,13 @@ object Similarity {
         posexplode(transform(sequence(lit(0), lit(chunks - 1)),
           c => call_function("shiftright", col("hh"), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk", "key")))
-      // quadratic-hot-bucket guard (see Dedup.capBuckets rationale)
-      val ok = banded0.groupBy(col("chunk"), col("key")).count()
-        .where(col("count") <= maxBucket).drop("count")
-      val banded = banded0.join(ok, Seq("chunk", "key"), "left_semi")
-      val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"))
-      val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"))
-      a.join(b, Seq("chunk", "key"))
-        .where(col("id_a") < col("id_b"))
+      // one-pass capped pair generation (Dedup.cappedBucketPairs): the
+      // hot-bucket guard fuses into the bounded-heap aggregate and ordered
+      // pairs generate row-locally — the former count+semi-join guard and
+      // a×b self-join read the banded index three times
+      graft.operators.Dedup.cappedBucketPairs(banded0, Seq("chunk", "key"),
+          idCol, lit(0), maxBucket)
+        .select("id_a", "id_b")
         .dropDuplicates("id_a", "id_b")
         .join(hashed.select(col(idCol).as("id_a"), col("v").as("v_a")), Seq("id_a"))
         .join(hashed.select(col(idCol).as("id_b"), col("v").as("v_b")), Seq("id_b"))
